@@ -1,0 +1,102 @@
+"""Encoder round-trip and size tests.
+
+The reference never implemented deflate (include/defl/defl.h:17-25); the
+test strategy here is the one SURVEY §4 prescribes for the build: our
+encode must (a) inflate correctly under an independent decoder (CPython
+zlib), (b) inflate correctly under OUR decoder, and (c) meet the size
+target (<= zlib level-6 output overall, BASELINE.md).
+"""
+
+import zlib
+
+import pytest
+
+from defl_tpu.api import deflate_buffer, inflate_buffer
+from defl_tpu.errors import FLAG_ZLIB
+from tests.gendata import make_corpus
+
+CORPUS = make_corpus()
+
+
+@pytest.fixture(scope="module", params=sorted(CORPUS))
+def item(request):
+    return request.param, CORPUS[request.param]
+
+
+def test_roundtrip_zlib_decodes_ours(item):
+    name, raw = item
+    comp = deflate_buffer(raw, level=6, flags=FLAG_ZLIB)
+    assert zlib.decompress(comp) == raw, name
+
+
+def test_roundtrip_raw_format(item):
+    name, raw = item
+    comp = deflate_buffer(raw, level=6, flags=0)
+    assert zlib.decompress(comp, -15) == raw, name
+
+
+def test_roundtrip_our_decoder(item):
+    name, raw = item
+    comp = deflate_buffer(raw, level=6, flags=FLAG_ZLIB)
+    assert inflate_buffer(comp) == raw, name
+
+
+@pytest.mark.parametrize("level", [1, 4, 6, 9])
+def test_levels_roundtrip(level):
+    raw = CORPUS["text"] + CORPUS["png_simulation"]
+    comp = deflate_buffer(raw, level=level)
+    assert zlib.decompress(comp) == raw
+
+
+def test_adler_trailer_correct():
+    raw = CORPUS["json"]
+    comp = deflate_buffer(raw)
+    assert int.from_bytes(comp[-4:], "big") == zlib.adler32(raw)
+
+
+def test_size_vs_zlib6_aggregate():
+    """Aggregate size target (BASELINE.md): <= zlib level-6 on the corpus."""
+    ours = 0
+    zl = 0
+    for name, raw in CORPUS.items():
+        ours += len(deflate_buffer(raw, level=6, flags=0))
+        zl += len(zlib.compress(raw, 6)) - 6  # strip zlib wrapper overhead
+    assert ours <= zl * 1.01, f"ours={ours} zlib6={zl}"
+
+
+def test_size_per_file_reasonable():
+    """No single file should blow up badly vs zlib-6."""
+    for name, raw in CORPUS.items():
+        if len(raw) < 64:
+            continue  # tiny inputs are all header
+        ours = len(deflate_buffer(raw, level=6, flags=0))
+        zl = len(zlib.compress(raw, 9, )) - 6
+        zl6 = len(zlib.compress(raw, 6)) - 6
+        assert ours <= max(zl6 * 1.10, zl6 + 64), (name, ours, zl6)
+
+
+def test_dictionary_encode_roundtrip():
+    d = b"a preset dictionary with common phrases the payload reuses " * 8
+    payload = b"the payload reuses common phrases from a preset dictionary!"
+    comp = deflate_buffer(payload, dictionary=d)
+    do = zlib.decompressobj(zdict=d)
+    assert do.decompress(comp) == payload
+    # and with our own decoder
+    assert inflate_buffer(comp, dictionary=d) == payload
+    # dictionary should actually help
+    assert len(comp) < len(deflate_buffer(payload))
+
+
+def test_empty_input():
+    comp = deflate_buffer(b"")
+    assert zlib.decompress(comp) == b""
+
+
+def test_incompressible_uses_stored():
+    import random
+
+    raw = random.Random(7).randbytes(70000)
+    comp = deflate_buffer(raw, flags=0)
+    # stored framing costs ~5 bytes/64K block + 3 bits: must be tight
+    assert len(comp) <= len(raw) + 40
+    assert zlib.decompress(comp, -15) == raw
