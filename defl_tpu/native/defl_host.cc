@@ -1,0 +1,834 @@
+// defl_host.cc — native host codec for defl_tpu.
+//
+// The C++ tier of the framework's runtime: a fast serial DEFLATE/zlib
+// inflate + deflate used for host-side fallback (streams too large or too
+// pathological for the device step budget), corpus staging, and as an
+// independent second implementation cross-checked against the Python
+// oracle and the device path.
+//
+// Plays the role the reference's hand-tuned C paths play there (fast
+// two-level Huffman tables, infl.c:378-1104), but is a from-scratch
+// implementation: 64-bit bit reservoir, root-10 two-level tables with
+// extra-bits folded into entries, hash-chain LZ77 with lazy matching on
+// the encode side.
+//
+// Exported ABI (ctypes, see defl_tpu/runtime/native.py):
+//   int  dt_inflate(src, srclen, dst, dstcap, *dstlen, flags)
+//   int  dt_deflate(src, srclen, dst, dstcap, *dstlen, level, flags)
+//   u32  dt_adler32(p, n, start)
+//   u32  dt_crc32(p, n, start)
+// Result codes match defl_tpu.errors.Result (OK=0, UNFINISHED=2, ERR=-1,
+// EFULL=-105).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+constexpr int R_OK = 0;
+constexpr int R_UNFINISHED = 2;
+constexpr int R_ERR = -1;
+constexpr int R_EFULL = -105;
+
+// ---------------------------------------------------------------- bits ----
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t bits = 0;
+  int n = 0;
+
+  void refill() {
+    while (n <= 56 && p < end) {
+      bits |= (uint64_t)(*p++) << n;
+      n += 8;
+    }
+  }
+  // bits remaining including unread bytes
+  int64_t total_avail() const { return n + 8 * (int64_t)(end - p); }
+  uint32_t peek(int k) const { return (uint32_t)(bits & ((1u << k) - 1)); }
+  void drop(int k) { bits >>= k; n -= k; }
+  void align() { drop(n & 7); }
+};
+
+// ------------------------------------------------------------- tables -----
+// Two-level decode table. Root 10 bits; longer codes chain to subtables.
+// Entry: bit31 = sub pointer; else bits[0:4] = code length (0 = invalid),
+// bits[4:13] = symbol, bits[16:24] = extra bits, bits[24:32] unused.
+// Sub pointer: bits[0:4] = extra index bits, bits[4:20] = offset.
+struct Table {
+  static constexpr int kRoot = 10;
+  uint32_t entry[1 << kRoot];
+  uint32_t sub[1 << 15];  // generous; max subtable load is small
+  int sub_used = 0;
+};
+
+inline uint32_t bitrev(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+// Build canonical decode table from code lengths. Returns false on
+// oversubscription or len > 15. Incomplete codes are allowed.
+bool build_table(Table& t, const uint8_t* lens, int n) {
+  int count[16] = {0};
+  for (int s = 0; s < n; s++) {
+    if (lens[s] > 15) return false;
+    count[lens[s]]++;
+  }
+  count[0] = 0;
+  int left = 1;
+  for (int l = 1; l <= 15; l++) {
+    left = (left << 1) - count[l];
+    if (left < 0) return false;
+  }
+  int first[16] = {0};
+  int offs[17] = {0};
+  int code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code + count[l - 1]) << 1;
+    first[l] = code;
+    offs[l + 1] = offs[l] + count[l];
+  }
+  // symbols in canonical order
+  int sorted[320];
+  int fill[16];
+  memcpy(fill, offs, sizeof(fill));
+  for (int s = 0; s < n; s++)
+    if (lens[s]) sorted[fill[lens[s]]++] = s;
+
+  memset(t.entry, 0, sizeof(t.entry));
+  t.sub_used = 0;
+
+  // roots
+  for (int l = 1; l <= Table::kRoot; l++) {
+    for (int r = 0; r < count[l]; r++) {
+      int sym = sorted[offs[l] + r];
+      uint32_t c = bitrev((uint32_t)(first[l] + r), l);
+      uint32_t e = (uint32_t)l | ((uint32_t)sym << 4);
+      for (uint32_t idx = c; idx < (1u << Table::kRoot); idx += 1u << l)
+        t.entry[idx] = e;
+    }
+  }
+  // long codes: group by low kRoot bits
+  // find max length actually used
+  int maxlen = 0;
+  for (int l = 15; l >= 1; l--) if (count[l]) { maxlen = l; break; }
+  if (maxlen <= Table::kRoot) return true;
+
+  // For each root index that some long code maps to, build a subtable of
+  // (maxlen_for_prefix - kRoot) index bits.
+  // Pass 1: per-prefix max extra bits.
+  static uint8_t pre_bits[1 << Table::kRoot];
+  memset(pre_bits, 0, sizeof(pre_bits));
+  for (int l = Table::kRoot + 1; l <= 15; l++) {
+    for (int r = 0; r < count[l]; r++) {
+      uint32_t c = bitrev((uint32_t)(first[l] + r), l);
+      uint32_t pre = c & ((1u << Table::kRoot) - 1);
+      uint8_t eb = (uint8_t)(l - Table::kRoot);
+      if (eb > pre_bits[pre]) pre_bits[pre] = eb;
+    }
+  }
+  // Pass 2: allocate subtables.
+  for (uint32_t pre = 0; pre < (1u << Table::kRoot); pre++) {
+    if (!pre_bits[pre]) continue;
+    int eb = pre_bits[pre];
+    int off = t.sub_used;
+    t.sub_used += 1 << eb;
+    if (t.sub_used > (int)(sizeof(t.sub) / sizeof(t.sub[0]))) return false;
+    memset(t.sub + off, 0, sizeof(uint32_t) << eb);
+    t.entry[pre] = 0x80000000u | ((uint32_t)off << 4) | (uint32_t)eb;
+  }
+  // Pass 3: fill subtable entries.
+  for (int l = Table::kRoot + 1; l <= 15; l++) {
+    for (int r = 0; r < count[l]; r++) {
+      int sym = sorted[offs[l] + r];
+      uint32_t c = bitrev((uint32_t)(first[l] + r), l);
+      uint32_t pre = c & ((1u << Table::kRoot) - 1);
+      uint32_t ptr = t.entry[pre];
+      int eb = (int)(ptr & 0xF);
+      int off = (int)((ptr >> 4) & 0xFFFF);
+      uint32_t hi = c >> Table::kRoot;         // eb' = l - kRoot index bits
+      uint32_t e = (uint32_t)l | ((uint32_t)sym << 4);
+      for (uint32_t idx = hi; idx < (1u << eb); idx += 1u << (l - Table::kRoot))
+        t.sub[off + idx] = e;
+    }
+  }
+  return true;
+}
+
+// Decode one symbol; returns symbol or -1 (invalid) / -2 (need input).
+inline int decode_sym(BitReader& b, const Table& t, int* used) {
+  b.refill();
+  uint32_t e = t.entry[b.bits & ((1u << Table::kRoot) - 1)];
+  if (e & 0x80000000u) {
+    int eb = (int)(e & 0xF);
+    int off = (int)((e >> 4) & 0xFFFF);
+    e = t.sub[off + ((b.bits >> Table::kRoot) & ((1u << eb) - 1))];
+  }
+  int len = (int)(e & 0xF);
+  if (!len) return b.n >= 15 ? -1 : -2;
+  if (len > b.n) return -2;
+  *used = len;
+  return (int)((e >> 4) & 0x1FF);
+}
+
+// ------------------------------------------------------- format tables ----
+const uint16_t kLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,
+                              51,59,67,83,99,115,131,163,195,227,258};
+const uint8_t kLenExtra[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,
+                               4,5,5,5,5,0};
+const uint16_t kDistBase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,
+                                385,513,769,1025,1537,2049,3073,4097,6145,8193,
+                                12289,16385,24577};
+const uint8_t kDistExtra[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
+                                10,10,11,11,12,12,13,13};
+const uint8_t kClOrder[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+void fixed_lens(uint8_t* lit, uint8_t* dist) {
+  int i = 0;
+  for (; i < 144; i++) lit[i] = 8;
+  for (; i < 256; i++) lit[i] = 9;
+  for (; i < 280; i++) lit[i] = 7;
+  for (; i < 288; i++) lit[i] = 8;
+  for (i = 0; i < 32; i++) dist[i] = 5;
+}
+
+// ------------------------------------------------------------ inflate -----
+struct Inflater {
+  Table lit, dist;
+  Table clt;
+  uint8_t lens[320];
+};
+
+int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
+                 uint64_t dstcap, uint64_t* dstlen, int flags) {
+  BitReader b{src, src + srclen};
+  uint64_t out = 0;
+  *dstlen = 0;
+
+  if (flags & 1) {  // zlib wrapper
+    b.refill();
+    if (b.n < 16) return R_UNFINISHED;
+    uint32_t cmf = b.peek(8); b.drop(8);
+    uint32_t flg = b.peek(8); b.drop(8);
+    if ((cmf & 0xF) != 8 || (cmf >> 4) > 7) return R_ERR;
+    if (((cmf << 8) + flg) % 31 != 0) return R_ERR;
+    if (flg & 0x20) return R_ERR;  // FDICT: host one-shot path has no dict
+  }
+
+  static thread_local Inflater inf;
+  bool final_blk = false;
+  while (!final_blk) {
+    b.refill();
+    if (b.n < 3) return R_UNFINISHED;
+    final_blk = b.peek(1); b.drop(1);
+    uint32_t btype = b.peek(2); b.drop(2);
+
+    if (btype == 0) {  // stored
+      b.align();
+      b.refill();
+      if (b.n < 32) return R_UNFINISHED;
+      uint32_t len = b.peek(16); b.drop(16);
+      uint32_t nlen = b.peek(16); b.drop(16);
+      if (len != (~nlen & 0xFFFF)) return R_ERR;
+      if (out + len > dstcap) { *dstlen = out; return R_EFULL; }
+      // drain reservoir bytes first, then memcpy
+      while (len && b.n) { dst[out++] = (uint8_t)b.peek(8); b.drop(8); len--; }
+      if ((uint64_t)(b.end - b.p) < len) return R_UNFINISHED;
+      memcpy(dst + out, b.p, len);
+      b.p += len;
+      out += len;
+      continue;
+    }
+    if (btype == 3) return R_ERR;
+
+    if (btype == 1) {
+      uint8_t ll[288], dl[32];
+      fixed_lens(ll, dl);
+      if (!build_table(inf.lit, ll, 288) || !build_table(inf.dist, dl, 32))
+        return R_ERR;
+    } else {  // dynamic
+      b.refill();
+      if (b.n < 14) return R_UNFINISHED;
+      int hlit = 257 + (int)b.peek(5); b.drop(5);
+      int hdist = 1 + (int)b.peek(5); b.drop(5);
+      int hclen = 4 + (int)b.peek(4); b.drop(4);
+      if (hlit > 286 || hdist > 30) return R_ERR;
+      uint8_t cl[19] = {0};
+      for (int i = 0; i < hclen; i++) {
+        b.refill();
+        if (b.n < 3) return R_UNFINISHED;
+        cl[kClOrder[i]] = (uint8_t)b.peek(3); b.drop(3);
+      }
+      if (!build_table(inf.clt, cl, 19)) return R_ERR;
+      int total = hlit + hdist;
+      int i = 0, prev = 0;
+      memset(inf.lens, 0, sizeof(inf.lens));
+      while (i < total) {
+        int used;
+        int sym = decode_sym(b, inf.clt, &used);
+        if (sym == -2) return R_UNFINISHED;
+        if (sym < 0) return R_ERR;
+        b.drop(used);
+        if (sym < 16) { inf.lens[i++] = (uint8_t)sym; prev = sym; continue; }
+        int rep, val = 0, eb = sym == 16 ? 2 : sym == 17 ? 3 : 7;
+        int base = sym == 16 ? 3 : sym == 17 ? 3 : 11;
+        b.refill();
+        if (b.n < eb) return R_UNFINISHED;
+        rep = base + (int)b.peek(eb); b.drop(eb);
+        if (sym == 16) { if (i == 0) return R_ERR; val = prev; }
+        else prev = 0;
+        if (i + rep > total) return R_ERR;
+        while (rep--) inf.lens[i++] = (uint8_t)val;
+      }
+      if (inf.lens[256] == 0) return R_ERR;
+      if (!build_table(inf.lit, inf.lens, hlit)) return R_ERR;
+      if (!build_table(inf.dist, inf.lens + hlit, hdist)) return R_ERR;
+    }
+
+    // block body
+    for (;;) {
+      int used;
+      int sym = decode_sym(b, inf.lit, &used);
+      if (sym == -2) { *dstlen = out; return R_UNFINISHED; }
+      if (sym < 0) return R_ERR;
+      b.drop(used);
+      if (sym < 256) {
+        if (out >= dstcap) { *dstlen = out; return R_EFULL; }
+        dst[out++] = (uint8_t)sym;
+        continue;
+      }
+      if (sym == 256) break;
+      if (sym > 285) return R_ERR;
+      int eb = kLenExtra[sym - 257];
+      b.refill();
+      if (b.n < eb) { *dstlen = out; return R_UNFINISHED; }
+      uint32_t length = kLenBase[sym - 257] + b.peek(eb); b.drop(eb);
+
+      int dsym = decode_sym(b, inf.dist, &used);
+      if (dsym == -2) { *dstlen = out; return R_UNFINISHED; }
+      if (dsym < 0 || dsym > 29) return R_ERR;
+      b.drop(used);
+      eb = kDistExtra[dsym];
+      b.refill();
+      if (b.n < eb) { *dstlen = out; return R_UNFINISHED; }
+      uint32_t distv = kDistBase[dsym] + b.peek(eb); b.drop(eb);
+      if (distv > out) return R_ERR;
+      if (out + length > dstcap) { *dstlen = out; return R_EFULL; }
+      // overlapping-safe copy
+      uint8_t* d = dst + out;
+      const uint8_t* s = d - distv;
+      out += length;
+      if (distv >= length) {
+        memcpy(d, s, length);
+      } else {
+        for (uint32_t k = 0; k < length; k++) d[k] = s[k];
+      }
+    }
+  }
+  *dstlen = out;
+  return R_OK;
+}
+
+// ----------------------------------------------------------- checksums ----
+uint32_t adler32_impl(const uint8_t* p, uint64_t n, uint32_t start) {
+  uint32_t a = start & 0xFFFF, s = start >> 16;
+  while (n) {
+    uint64_t blk = n > 5552 ? 5552 : n;
+    n -= blk;
+    while (blk--) { a += *p++; s += a; }
+    a %= 65521; s %= 65521;
+  }
+  return (s << 16) | a;
+}
+
+uint32_t crc_table[8][256];
+bool crc_init_done = false;
+void crc_init() {
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
+    crc_table[0][i] = c;
+  }
+  for (int t = 1; t < 8; t++)
+    for (uint32_t i = 0; i < 256; i++)
+      crc_table[t][i] = crc_table[0][crc_table[t - 1][i] & 0xFF] ^
+                        (crc_table[t - 1][i] >> 8);
+  crc_init_done = true;
+}
+
+uint32_t crc32_impl(const uint8_t* p, uint64_t n, uint32_t start) {
+  if (!crc_init_done) crc_init();
+  uint32_t c = ~start;
+  while (n >= 8) {
+    uint32_t lo, hi;
+    memcpy(&lo, p, 4);
+    memcpy(&hi, p + 4, 4);
+    lo ^= c;
+    c = crc_table[7][lo & 0xFF] ^ crc_table[6][(lo >> 8) & 0xFF] ^
+        crc_table[5][(lo >> 16) & 0xFF] ^ crc_table[4][lo >> 24] ^
+        crc_table[3][hi & 0xFF] ^ crc_table[2][(hi >> 8) & 0xFF] ^
+        crc_table[1][(hi >> 16) & 0xFF] ^ crc_table[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) c = crc_table[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+  return ~c;
+}
+
+// ------------------------------------------------------------ deflate -----
+struct BitWriter {
+  uint8_t* p;
+  uint8_t* end;
+  uint64_t acc = 0;
+  int n = 0;
+  bool overflow = false;
+
+  void put(uint32_t v, int nb) {
+    acc |= (uint64_t)(v & ((1u << nb) - 1)) << n;
+    n += nb;
+    while (n >= 8) {
+      if (p >= end) { overflow = true; n = 0; acc = 0; return; }
+      *p++ = (uint8_t)acc;
+      acc >>= 8;
+      n -= 8;
+    }
+  }
+  void put_code(uint32_t code, int nb) { put(bitrev(code, nb), nb); }
+  void align() { if (n) put(0, 8 - n); }
+};
+
+// Huffman code-length construction (package of counts, heap-free):
+// simple O(n log n) via sorting freqs; depth-limit with Kraft fixup.
+struct HNode { uint64_t f; int a, b, sym; };
+
+void huff_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
+  // collect used symbols
+  int used[320], nu = 0;
+  for (int i = 0; i < n; i++) { lens[i] = 0; if (freq[i]) used[nu++] = i; }
+  if (nu == 0) return;
+  if (nu == 1) { lens[used[0]] = 1; return; }
+
+  static HNode nodes[640];
+  int nn = 0;
+  for (int i = 0; i < nu; i++) nodes[nn++] = {freq[used[i]], -1, -1, used[i]};
+  // simple heap
+  auto cmp = [](const HNode& x, const HNode& y) { return x.f < y.f; };
+  // build via repeated min selection over an index heap
+  int heap[640], hs = 0;
+  auto push = [&](int idx) {
+    heap[hs++] = idx;
+    for (int c = hs - 1; c && cmp(nodes[heap[c]], nodes[heap[(c-1)/2]]); c = (c-1)/2) {
+      int t = heap[c]; heap[c] = heap[(c-1)/2]; heap[(c-1)/2] = t;
+    }
+  };
+  auto pop = [&]() {
+    int top = heap[0];
+    heap[0] = heap[--hs];
+    for (int c = 0;;) {
+      int l = 2*c+1, r = 2*c+2, m = c;
+      if (l < hs && cmp(nodes[heap[l]], nodes[heap[m]])) m = l;
+      if (r < hs && cmp(nodes[heap[r]], nodes[heap[m]])) m = r;
+      if (m == c) break;
+      int t = heap[c]; heap[c] = heap[m]; heap[m] = t;
+      c = m;
+    }
+    return top;
+  };
+  for (int i = 0; i < nu; i++) push(i);
+  while (hs > 1) {
+    int a = pop(), bI = pop();
+    nodes[nn] = {nodes[a].f + nodes[bI].f, a, bI, -1};
+    push(nn++);
+  }
+  // depths
+  static int depth[640];
+  depth[nn - 1] = 0;
+  int bl_count[64] = {0};
+  for (int i = nn - 1; i >= 0; i--) {
+    if (nodes[i].a >= 0) {
+      depth[nodes[i].a] = depth[i] + 1;
+      depth[nodes[i].b] = depth[i] + 1;
+    } else {
+      int d = depth[i] ? depth[i] : 1;
+      bl_count[d < 63 ? d : 63]++;
+    }
+  }
+  // overflow fixup (zlib gen_bitlen strategy)
+  int overflow = 0;
+  for (int d = maxlen + 1; d < 64; d++) overflow += bl_count[d];
+  if (overflow) {
+    bl_count[maxlen] += overflow;
+    for (int d = maxlen + 1; d < 64; d++) bl_count[d] = 0;
+    while (overflow > 0) {
+      int d = maxlen - 1;
+      while (!bl_count[d]) d--;
+      bl_count[d]--;
+      bl_count[d + 1] += 2;
+      bl_count[maxlen]--;
+      overflow -= 2;
+    }
+  }
+  // assign: leaves sorted by (depth, sym) get lengths from histogram
+  // order leaves by original depth then symbol
+  static int leaf[320]; int nl = 0;
+  for (int i = 0; i < nn; i++)
+    if (nodes[i].sym >= 0) leaf[nl++] = i;
+  // insertion sort by (depth, sym) — n <= 288
+  for (int i = 1; i < nl; i++) {
+    int x = leaf[i], j = i - 1;
+    int dx = depth[x] ? depth[x] : 1;
+    while (j >= 0) {
+      int dy = depth[leaf[j]] ? depth[leaf[j]] : 1;
+      if (dy < dx || (dy == dx && nodes[leaf[j]].sym < nodes[x].sym)) break;
+      leaf[j + 1] = leaf[j];
+      j--;
+    }
+    leaf[j + 1] = x;
+  }
+  int li = 0;
+  for (int d = 1; d <= maxlen; d++)
+    for (int c = 0; c < bl_count[d]; c++)
+      lens[nodes[leaf[li++]].sym] = (uint8_t)d;
+}
+
+void assign_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  int count[16] = {0};
+  for (int i = 0; i < n; i++) count[lens[i]]++;
+  count[0] = 0;
+  int next[16], code = 0;
+  for (int l = 1; l <= 15; l++) { code = (code + count[l - 1]) << 1; next[l] = code; }
+  for (int i = 0; i < n; i++)
+    codes[i] = lens[i] ? (uint16_t)next[lens[i]]++ : 0;
+}
+
+int len_to_sym(uint32_t len) {
+  if (len <= 10) return 257 + (int)len - 3;
+  if (len == 258) return 285;
+  for (int i = 28; i >= 0; i--)
+    if (len >= kLenBase[i]) return 257 + i;
+  return 257;
+}
+
+int dist_to_sym(uint32_t d) {
+  for (int i = 29; i >= 0; i--)
+    if (d >= kDistBase[i]) return i;
+  return 0;
+}
+
+struct Token { uint32_t v; };  // <256 literal; else (len<<16)|dist
+
+constexpr int kHashBits = 15;
+constexpr int kHashSize = 1 << kHashBits;
+constexpr int kMinMatch = 3;
+constexpr int kMaxMatch = 258;
+constexpr int kMaxDist = 32768;
+
+struct Matcher {
+  int32_t head[kHashSize];
+  int32_t* prev;
+};
+
+inline uint32_t hash3(const uint8_t* p) {
+  return (((uint32_t)p[0] << 10) ^ ((uint32_t)p[1] << 5) ^ p[2]) &
+         (kHashSize - 1);
+}
+
+// Emit one block of tokens with dynamic or fixed or stored encoding,
+// choosing the cheapest.
+void emit_block(BitWriter& w, const Token* toks, int ntok,
+                const uint8_t* raw, uint64_t rawlen, bool final_blk) {
+  uint32_t lit_freq[288] = {0}, dist_freq[32] = {0};
+  uint64_t extra_bits = 0;
+  for (int i = 0; i < ntok; i++) {
+    uint32_t t = toks[i].v;
+    if (t < 256) { lit_freq[t]++; continue; }
+    uint32_t len = t >> 16, d = t & 0xFFFF;
+    int ls = len_to_sym(len), ds = dist_to_sym(d);
+    lit_freq[ls]++; dist_freq[ds]++;
+    extra_bits += kLenExtra[ls - 257] + kDistExtra[ds];
+  }
+  lit_freq[256]++;
+
+  uint8_t ll[288], dl[32];
+  huff_lengths(lit_freq, 286, 15, ll);
+  huff_lengths(dist_freq, 30, 15, dl);
+  bool any_dist = false;
+  for (int i = 0; i < 30; i++) if (dl[i]) any_dist = true;
+  if (!any_dist) dl[0] = 1;
+  uint16_t lc[288], dc[32];
+  assign_codes(ll, 288, lc);
+  assign_codes(dl, 32, dc);
+
+  // fixed lengths
+  uint8_t fll[288], fdl[32];
+  fixed_lens(fll, fdl);
+  uint16_t flc[288], fdc[32];
+  assign_codes(fll, 288, flc);
+  assign_codes(fdl, 32, fdc);
+
+  // dynamic header: RLE the length list
+  int hlit = 257, hdist = 1;
+  for (int i = 257; i < 286; i++) if (ll[i]) hlit = i + 1;
+  for (int i = 0; i < 30; i++) if (dl[i]) hdist = i + 1;
+  uint8_t all[320];
+  memcpy(all, ll, hlit);
+  memcpy(all + hlit, dl, hdist);
+  int tot = hlit + hdist;
+
+  // RLE
+  struct Rle { uint8_t sym, ev, eb; };
+  Rle rle[400]; int nr = 0;
+  for (int i = 0; i < tot;) {
+    uint8_t v = all[i];
+    int run = 1;
+    while (i + run < tot && all[i + run] == v) run++;
+    if (v == 0) {
+      int r = run;
+      while (r >= 11) { int tk = r > 138 ? 138 : r; rle[nr++] = {18, (uint8_t)(tk - 11), 7}; r -= tk; }
+      if (r >= 3) { rle[nr++] = {17, (uint8_t)(r - 3), 3}; r = 0; }
+      while (r--) rle[nr++] = {0, 0, 0};
+    } else {
+      rle[nr++] = {v, 0, 0};
+      int r = run - 1;
+      while (r >= 3) { int tk = r > 6 ? 6 : r; rle[nr++] = {16, (uint8_t)(tk - 3), 2}; r -= tk; }
+      while (r-- > 0) rle[nr++] = {v, 0, 0};
+    }
+    i += run;
+  }
+  uint32_t cl_freq[19] = {0};
+  for (int i = 0; i < nr; i++) cl_freq[rle[i].sym]++;
+  uint8_t cl_lens[19];
+  huff_lengths(cl_freq, 19, 7, cl_lens);
+  uint16_t cl_codes[19];
+  assign_codes(cl_lens, 19, cl_codes);
+  int hclen = 19;
+  while (hclen > 4 && !cl_lens[kClOrder[hclen - 1]]) hclen--;
+
+  // costs
+  uint64_t dyn_cost = 14 + 3 * hclen + extra_bits;
+  for (int i = 0; i < nr; i++) dyn_cost += cl_lens[rle[i].sym] + rle[i].eb;
+  for (int i = 0; i < 288; i++) dyn_cost += (uint64_t)lit_freq[i] * ll[i];
+  for (int i = 0; i < 30; i++) dyn_cost += (uint64_t)dist_freq[i] * dl[i];
+  uint64_t fix_cost = extra_bits;
+  for (int i = 0; i < 288; i++) fix_cost += (uint64_t)lit_freq[i] * fll[i];
+  for (int i = 0; i < 30; i++) fix_cost += (uint64_t)dist_freq[i] * 5;
+  uint64_t sto_cost = 7 + 32 + 8 * rawlen + 40 * (rawlen / 65535);
+
+  if (raw && sto_cost < dyn_cost && sto_cost < fix_cost) {
+    uint64_t off = 0;
+    for (;;) {
+      uint32_t take = rawlen - off > 65535 ? 65535 : (uint32_t)(rawlen - off);
+      bool last = off + take == rawlen;
+      w.put(final_blk && last ? 1 : 0, 1);
+      w.put(0, 2);
+      w.align();
+      w.put(take & 0xFF, 8); w.put(take >> 8, 8);
+      w.put(~take & 0xFF, 8); w.put((~take >> 8) & 0xFF, 8);
+      for (uint32_t k = 0; k < take; k++) w.put(raw[off + k], 8);
+      off += take;
+      if (last) break;
+    }
+    return;
+  }
+
+  const uint8_t* ell = ll;
+  const uint16_t* elc = lc;
+  const uint8_t* edl = dl;
+  const uint16_t* edc = dc;
+  if (dyn_cost < fix_cost) {
+    w.put(final_blk ? 1 : 0, 1);
+    w.put(2, 2);
+    w.put(hlit - 257, 5);
+    w.put(hdist - 1, 5);
+    w.put(hclen - 4, 4);
+    for (int i = 0; i < hclen; i++) w.put(cl_lens[kClOrder[i]], 3);
+    for (int i = 0; i < nr; i++) {
+      w.put_code(cl_codes[rle[i].sym], cl_lens[rle[i].sym]);
+      if (rle[i].eb) w.put(rle[i].ev, rle[i].eb);
+    }
+  } else {
+    w.put(final_blk ? 1 : 0, 1);
+    w.put(1, 2);
+    ell = fll; elc = flc; edl = fdl; edc = fdc;
+  }
+
+  for (int i = 0; i < ntok; i++) {
+    uint32_t t = toks[i].v;
+    if (t < 256) { w.put_code(elc[t], ell[t]); continue; }
+    uint32_t len = t >> 16, d = t & 0xFFFF;
+    int ls = len_to_sym(len), ds = dist_to_sym(d);
+    w.put_code(elc[ls], ell[ls]);
+    if (kLenExtra[ls - 257]) w.put(len - kLenBase[ls - 257], kLenExtra[ls - 257]);
+    w.put_code(edc[ds], edl[ds]);
+    if (kDistExtra[ds]) w.put(d - kDistBase[ds], kDistExtra[ds]);
+  }
+  w.put_code(elc[256], ell[256]);
+}
+
+struct LevelCfg { int max_chain; bool lazy; int nice; };
+LevelCfg level_cfg(int level) {
+  switch (level < 1 ? 1 : level > 9 ? 9 : level) {
+    case 1: return {8, false, 16};
+    case 2: return {16, false, 32};
+    case 3: return {32, false, 64};
+    case 4: return {48, true, 64};
+    case 5: return {96, true, 128};
+    case 6: return {192, true, 258};
+    case 7: return {384, true, 258};
+    case 8: return {1024, true, 258};
+    default: return {4096, true, 258};
+  }
+}
+
+int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
+                 uint64_t dstcap, uint64_t* dstlen, int level, int flags) {
+  BitWriter w{dst, dst + dstcap};
+  LevelCfg cfg = level_cfg(level);
+
+  if (flags & 1) {
+    uint32_t cmf = 0x78, flg = 0;
+    uint32_t rem = ((cmf << 8) | flg) % 31;
+    if (rem) flg += 31 - rem;
+    w.put(cmf, 8); w.put(flg, 8);
+  }
+
+  if (n == 0) {
+    w.put(1, 1); w.put(1, 2);
+    w.put_code(0, 7);  // fixed EOB
+  } else {
+    Matcher m;
+    m.prev = (int32_t*)malloc(n * sizeof(int32_t));
+    if (!m.prev) return R_ERR;
+    memset(m.head, -1, sizeof(m.head));
+
+    const int kBlockTokens = 16384;
+    Token* toks = (Token*)malloc(kBlockTokens * sizeof(Token));
+    int ntok = 0;
+    uint64_t blk_start = 0;
+
+    int64_t last_ins = (int64_t)n - kMinMatch + 1;
+    int64_t ins = 0;
+    auto advance_insert = [&](int64_t limit) {
+      int64_t stop = limit < last_ins ? limit : last_ins;
+      while (ins < stop) {
+        uint32_t h = hash3(src + ins);
+        m.prev[ins] = m.head[h];
+        m.head[h] = (int32_t)ins;
+        ins++;
+      }
+    };
+    auto longest = [&](int64_t i, int best_in, uint32_t* out_d) -> int {
+      int best = best_in;
+      uint32_t best_d = 0;
+      int64_t limit64 = (int64_t)n - i;
+      int limit = limit64 > kMaxMatch ? kMaxMatch : (int)limit64;
+      if (limit < kMinMatch) return 0;
+      int64_t lo = i - kMaxDist;
+      int32_t j = m.head[hash3(src + i)];
+      int chain = cfg.max_chain;
+      while (j >= 0 && j >= lo && chain-- && best < limit) {
+        if (src[j + best] == src[i + best]) {
+          int l = 0;
+          while (l + 8 <= limit) {
+            uint64_t a, bb;
+            memcpy(&a, src + j + l, 8);
+            memcpy(&bb, src + i + l, 8);
+            if (a != bb) {
+              l += __builtin_ctzll(a ^ bb) >> 3;
+              goto done_len;
+            }
+            l += 8;
+          }
+          while (l < limit && src[j + l] == src[i + l]) l++;
+        done_len:
+          if (l > best) {
+            best = l;
+            best_d = (uint32_t)(i - j);
+            if (l >= cfg.nice) break;
+          }
+        }
+        j = m.prev[j];
+      }
+      if (best >= kMinMatch && best_d) { *out_d = best_d; return best; }
+      return 0;
+    };
+
+    auto flush = [&](bool final_blk, uint64_t blk_end) {
+      emit_block(w, toks, ntok, src + blk_start, blk_end - blk_start,
+                 final_blk);
+      ntok = 0;
+      blk_start = blk_end;
+    };
+
+    int64_t i = 0;
+    while ((uint64_t)i < n) {
+      advance_insert(i);
+      uint32_t d = 0;
+      int len = (i + kMinMatch <= (int64_t)n) ? longest(i, kMinMatch - 1, &d) : 0;
+      if (len && cfg.lazy && len < cfg.nice && i + 1 + kMinMatch <= (int64_t)n) {
+        advance_insert(i + 1);
+        uint32_t d2 = 0;
+        int len2 = longest(i + 1, len, &d2);
+        if (len2 > len) {
+          toks[ntok++].v = src[i];
+          i++;
+          len = len2; d = d2;
+          if (ntok == kBlockTokens) flush(false, i);
+        }
+      }
+      if (len) {
+        toks[ntok++].v = ((uint32_t)len << 16) | d;
+        i += len;
+      } else {
+        toks[ntok++].v = src[i];
+        i++;
+      }
+      if (ntok == kBlockTokens) flush((uint64_t)i == n, i);
+    }
+    if (ntok || blk_start != n) flush(true, n);
+    else {
+      // tokens flushed exactly at the end but block wasn't final:
+      // emit an empty final fixed block
+      w.put(1, 1); w.put(1, 2); w.put_code(0, 7);
+    }
+    free(toks);
+    free(m.prev);
+  }
+
+  w.align();
+  if (flags & 1) {
+    uint32_t ad = adler32_impl(src, n, 1);
+    w.put(ad >> 24, 8); w.put((ad >> 16) & 0xFF, 8);
+    w.put((ad >> 8) & 0xFF, 8); w.put(ad & 0xFF, 8);
+  }
+  if (w.overflow) return R_EFULL;
+  *dstlen = (uint64_t)(w.p - dst);
+  return R_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+int dt_inflate(const uint8_t* src, uint64_t srclen, uint8_t* dst,
+               uint64_t dstcap, uint64_t* dstlen, int flags) {
+  return inflate_impl(src, srclen, dst, dstcap, dstlen, flags);
+}
+
+int dt_deflate(const uint8_t* src, uint64_t srclen, uint8_t* dst,
+               uint64_t dstcap, uint64_t* dstlen, int level, int flags) {
+  return deflate_impl(src, srclen, dst, dstcap, dstlen, level, flags);
+}
+
+uint32_t dt_adler32(const uint8_t* p, uint64_t n, uint32_t start) {
+  return adler32_impl(p, n, start);
+}
+
+uint32_t dt_crc32(const uint8_t* p, uint64_t n, uint32_t start) {
+  return crc32_impl(p, n, start);
+}
+
+}  // extern "C"

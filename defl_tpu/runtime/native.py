@@ -1,0 +1,117 @@
+"""ctypes bindings for the C++ host engine (defl_tpu/native/defl_host.cc).
+
+Builds the shared library on first use (g++, ~1s) and caches it next to
+the source.  Every entry degrades gracefully: if no C++ toolchain is
+available the callers fall back to the pure-Python oracle, so the
+framework never hard-depends on the native tier.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+from defl_tpu.errors import Result
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdefl_host.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "defl_host.cc")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             "-o", _LIB_PATH, _SRC_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.dt_inflate.restype = ctypes.c_int
+        lib.dt_inflate.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+                                   ctypes.POINTER(ctypes.c_uint64),
+                                   ctypes.c_int]
+        lib.dt_deflate.restype = ctypes.c_int
+        lib.dt_deflate.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+                                   ctypes.POINTER(ctypes.c_uint64),
+                                   ctypes.c_int, ctypes.c_int]
+        lib.dt_adler32.restype = ctypes.c_uint32
+        lib.dt_adler32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.dt_crc32.restype = ctypes.c_uint32
+        lib.dt_crc32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8(buf):
+    return (ctypes.c_uint8 * len(buf)).from_buffer_copy(bytes(buf)) \
+        if len(buf) else (ctypes.c_uint8 * 1)()
+
+
+def native_inflate(data: bytes, dst_capacity: int,
+                   flags: int = 1) -> tuple[Result, bytes]:
+    """One-shot native inflate; (Result, output)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = _u8(data)
+    dst = (ctypes.c_uint8 * max(dst_capacity, 1))()
+    outlen = ctypes.c_uint64(0)
+    r = lib.dt_inflate(src, len(data), dst, dst_capacity,
+                       ctypes.byref(outlen), flags)
+    return Result(r), ctypes.string_at(dst, outlen.value)
+
+
+def native_deflate(data: bytes, level: int = 6,
+                   flags: int = 1) -> bytes:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = _u8(data)
+    cap = len(data) + len(data) // 2 + 1024
+    dst = (ctypes.c_uint8 * cap)()
+    outlen = ctypes.c_uint64(0)
+    r = lib.dt_deflate(src, len(data), dst, cap, ctypes.byref(outlen),
+                       level, flags)
+    if r != 0:
+        raise RuntimeError(f"native deflate failed: {Result(r).name}")
+    return ctypes.string_at(dst, outlen.value)
+
+
+def native_adler32(data: bytes, start: int = 1) -> int:
+    lib = get_lib()
+    return int(lib.dt_adler32(_u8(data), len(data), start))
+
+
+def native_crc32(data: bytes, start: int = 0) -> int:
+    lib = get_lib()
+    return int(lib.dt_crc32(_u8(data), len(data), start))

@@ -1,0 +1,146 @@
+"""Batch codec sessions: orchestration of the device decode pipeline.
+
+Drives pack -> decode_tokens -> resolve_tokens and converts device results
+back into per-stream (Result, bytes) pairs.  Error containment follows the
+reference's errors-as-values design (SURVEY §5): each lane carries its own
+status; a malformed stream never poisons its batch.  Pathological streams
+that exhaust the device step budget (e.g. adversarial floods of empty
+blocks) fall back to the host engine transparently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from defl_tpu.core.oracle import inflate_oracle
+from defl_tpu.errors import FLAG_ZLIB, Result
+from defl_tpu.runtime.pack import MAX_STREAM_BYTES, pack_dictionary, pack_streams
+
+#: decode-step budget per output byte; headers+slack come on top.
+_STEP_SLACK = 4096
+
+
+def _bucket(x: int) -> int:
+    """Round shape knobs up to power-of-two-ish buckets to bound jit
+    recompiles across calls."""
+    b = 1024
+    while b < x:
+        b *= 2
+    return b
+
+
+def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
+                   dst_capacities=None, chunk_steps: int = 256):
+    """Batched device decode.  Returns (results, outputs, stats dict)."""
+    import jax.numpy as jnp
+
+    from defl_tpu.ops.inflate_batch import STATUS_RUNNING, decode_tokens
+    from defl_tpu.ops.resolve import resolve_tokens
+
+    n_in = len(streams)
+    if n_in == 0:
+        return [], [], {}
+
+    if dst_capacities is None:
+        # No declared capacity: assume a generous ratio, retry on EFULL.
+        caps = [min(64 * len(b) if isinstance(b, (bytes, bytearray)) else
+                    64 * sum(len(c) for c in b), 1 << 26) or 64
+                for b in streams]
+    else:
+        caps = ([int(dst_capacities)] * n_in
+                if np.isscalar(dst_capacities) else
+                [int(c) for c in dst_capacities])
+
+    zf = flags & FLAG_ZLIB
+    packed = pack_streams(streams, zf, caps)
+    C = _bucket(max(caps))
+    T = C + C // 2 + _STEP_SLACK
+
+    # Pad N and W up to buckets so repeated calls reuse compiled shapes.
+    n_pad = 4
+    while n_pad < packed.n:
+        n_pad *= 2
+    w_pad = 64
+    while w_pad < packed.words.shape[1]:
+        w_pad *= 2
+    if n_pad != packed.n or w_pad != packed.words.shape[1]:
+        words = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        words[: packed.n, : packed.words.shape[1]] = packed.words
+        packed.words = words
+        packed.nbits = np.pad(packed.nbits, (0, n_pad - packed.n))
+        packed.zflag = np.pad(packed.zflag, (0, n_pad - packed.n))
+        packed.dst_cap = np.pad(packed.dst_cap, (0, n_pad - packed.n))
+
+    dict_words = None
+    dict_len = 0
+    if dictionary:
+        dict_words_np, dict_len = pack_dictionary(dictionary)
+        dict_words = jnp.asarray(dict_words_np)
+
+    tokens, st = decode_tokens(
+        jnp.asarray(packed.words), jnp.asarray(packed.nbits),
+        jnp.asarray(packed.zflag), jnp.asarray(packed.dst_cap),
+        T=T, K=chunk_steps, dict_len=dict_len,
+        has_dict=dictionary is not None)
+    out = resolve_tokens(tokens, jnp.asarray(packed.words),
+                         st["dst_pos"], C=C, dict_len=dict_len,
+                         dict_words=dict_words)
+
+    status = np.asarray(st["status"])
+    dst_pos = np.asarray(st["dst_pos"])
+    bitpos = np.asarray(st["bitpos"])
+    out_np = np.asarray(out)
+
+    results: list[Result] = []
+    outputs: list[bytes] = []
+    for i in range(n_in):
+        sti = int(status[i])
+        if sti == STATUS_RUNNING:
+            # step budget exhausted (pathological stream): host fallback
+            data = streams[i] if isinstance(streams[i], (bytes, bytearray)) \
+                else b"".join(bytes(c) for c in streams[i])
+            r, o = inflate_oracle(bytes(data), flags, caps[i], dictionary)
+            results.append(r)
+            outputs.append(o)
+            continue
+        results.append(Result(sti))
+        outputs.append(out_np[i, : int(dst_pos[i])].tobytes())
+    stats = {"bitpos": bitpos, "dst_pos": dst_pos, "T": T, "C": C}
+    return results, outputs, stats
+
+
+def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,
+                  dst_capacities=None):
+    """Public batch decode entry (see api.inflate_batch)."""
+    n = len(streams)
+    sizes_ok = all(
+        (len(s) if isinstance(s, (bytes, bytearray)) else
+         sum(len(c) for c in s)) <= MAX_STREAM_BYTES for s in streams)
+    use_device = backend == "device" or (
+        backend == "auto" and n >= 8 and sizes_ok)
+    if use_device:
+        results, outputs, _ = device_inflate(
+            streams, flags, dictionary, dst_capacities)
+        return results, outputs
+
+    results = []
+    outputs = []
+    for i, s in enumerate(streams):
+        data = s if isinstance(s, (bytes, bytearray)) else \
+            b"".join(bytes(c) for c in s)
+        cap = None
+        if dst_capacities is not None:
+            cap = int(dst_capacities) if np.isscalar(dst_capacities) \
+                else int(dst_capacities[i])
+        r, o = inflate_oracle(bytes(data), flags, cap, dictionary)
+        results.append(r)
+        outputs.append(o)
+    return results, outputs
+
+
+def batch_deflate(payloads, level=6, flags=FLAG_ZLIB):
+    """Compress many payloads (host engine; device encoder lands in ops)."""
+    from defl_tpu.core.deflate_ref import deflate_oracle
+
+    return [deflate_oracle(bytes(p), level=level, flags=flags)
+            for p in payloads]
