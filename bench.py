@@ -1,0 +1,193 @@
+"""Benchmark: batched inflate throughput on one TPU chip.
+
+Decodes a batch of independent 64KB-block zlib streams (Silesia-style mix:
+text, structured, binary, high-redundancy — generated locally, zero-egress
+environment) with the device pipeline and reports steady-state GB/s of
+decompressed output per chip.
+
+Prints ONE JSON line:
+  {"metric": "inflate_GBps_per_chip", "value": X, "unit": "GB/s",
+   "vs_baseline": X / 1.0}
+Baseline 1.0 GB/s/chip is the north-star target from BASELINE.md (the
+reference publishes no numbers).  Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import zlib
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_silesia_like(total_bytes: int, block: int = 65536, seed: int = 42):
+    """Mixed-characteristic corpus blocks (text / JSON-ish / binary-struct /
+    high-redundancy / semi-random), ~2:1 zlib ratio like Silesia."""
+    rng = random.Random(seed)
+    words = ("the of and to in is was he for it with as his on be at by had "
+             "not are but from or have an they which one you were her all "
+             "she there would their we him been has when who will more no "
+             "if out so said what up its about into than them can only "
+             "other new some could time these two may then do first any my "
+             "now such like our over man me even most made after also did "
+             "many before must through years where much your way down "
+             "should because each just those people how too little state "
+             "good very make world still own see men work long get here "
+             "between both life being under never day same another know "
+             "while last might us great old year off come since against go "
+             "came right used take three").split()
+
+    blocks = []
+    produced = 0
+    kind = 0
+    while produced < total_bytes:
+        k = kind % 5
+        kind += 1
+        if k == 0:      # english-ish text
+            b = (" ".join(rng.choice(words)
+                          for _ in range(block // 5))).encode()[:block]
+        elif k == 1:    # structured records (xml/json-ish)
+            rows = []
+            while sum(len(r) for r in rows) < block:
+                rows.append(
+                    b'<row id="%d" name="item-%d" value="%.6f"/>'
+                    % (rng.randrange(10**6), rng.randrange(10**4),
+                       rng.random()))
+            b = b"\n".join(rows)[:block]
+        elif k == 2:    # binary structs: correlated little-endian ints
+            vals = bytearray()
+            x = 1 << 20
+            while len(vals) < block:
+                x = (x + rng.randrange(-1000, 1000)) & 0xFFFFFFFF
+                vals += x.to_bytes(4, "little")
+            b = bytes(vals[:block])
+        elif k == 3:    # high redundancy
+            unit = rng.randbytes(rng.choice([3, 17, 64, 256]))
+            b = (unit * (block // len(unit) + 1))[:block]
+        else:           # semi-random with embedded repeats
+            b = bytearray(rng.randbytes(block))
+            blob = rng.randbytes(600)
+            for _ in range(20):
+                p = rng.randrange(0, block - 600)
+                b[p : p + 600] = blob
+            b = bytes(b)
+        blocks.append(b)
+        produced += len(b)
+    return blocks
+
+
+def main():
+    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "256"))
+    block = int(os.environ.get("DEFL_BENCH_BLOCK", "65536"))
+    reps = int(os.environ.get("DEFL_BENCH_REPS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from defl_tpu.ops.inflate_batch import decode_tokens
+    from defl_tpu.ops.resolve import resolve_tokens
+    from defl_tpu.runtime.pack import pack_streams
+    from defl_tpu.ops.inflate_batch import step_budget
+
+    log(f"devices: {jax.devices()}")
+    dev_kind = jax.devices()[0].platform
+
+    log(f"generating {n_streams} x {block}B blocks ...")
+    payloads = make_silesia_like(n_streams * block, block)[:n_streams]
+    streams = [zlib.compress(p, 6) for p in payloads]
+    raw_bytes = sum(len(p) for p in payloads)
+    comp_bytes = sum(len(s) for s in streams)
+    log(f"raw={raw_bytes/1e6:.1f}MB comp={comp_bytes/1e6:.1f}MB "
+        f"ratio={raw_bytes/comp_bytes:.2f}")
+
+    packed = pack_streams(streams, 1, block)
+    C = block
+    T = step_budget(C)
+    K = int(os.environ.get("DEFL_BENCH_K", "256"))
+
+    from defl_tpu.runtime.native import available, native_resolve_tokens
+
+    words = jnp.asarray(packed.words)
+    nbits = jnp.asarray(packed.nbits)
+    zflag = jnp.asarray(packed.zflag)
+    cap = jnp.asarray(packed.dst_cap)
+
+    def decode_nt(words, nbits, zflag, cap):
+        toks, st = decode_tokens(words, nbits, zflag, cap, T=T, K=K)
+        return jnp.transpose(toks), st["status"], st["dst_pos"]
+
+    jfn = jax.jit(decode_nt)
+    use_host = available() and os.environ.get("DEFL_BENCH_RESOLVE",
+                                              "host") == "host"
+
+    log("compiling + warmup ...")
+    t0 = time.perf_counter()
+    toks_nt, status, dst_pos = jfn(words, nbits, zflag, cap)
+    st_np = np.asarray(status)
+    log(f"first call: {time.perf_counter() - t0:.1f}s")
+
+    ok = int((st_np == 0).sum())
+    log(f"status: ok={ok}/{n_streams}")
+    if ok != n_streams:
+        bad = np.nonzero(st_np != 0)[0][:5]
+        log(f"non-ok lanes: {bad} statuses {st_np[bad]}")
+
+    def run_once():
+        t0 = time.perf_counter()
+        toks_nt, status, dst_pos = jfn(words, nbits, zflag, cap)
+        tn = np.asarray(toks_nt)  # forces completion + fetch
+        dp = np.asarray(dst_pos)
+        t1 = time.perf_counter()
+        if use_host:
+            out_np = native_resolve_tokens(tn, packed.words, dp, C)
+        else:
+            out = resolve_tokens(jnp.asarray(tn.T), words,
+                                 jnp.asarray(dp), C=C)
+            out_np = np.asarray(out)
+        t2 = time.perf_counter()
+        return out_np, dp, t1 - t0, t2 - t1
+
+    # correctness spot check
+    out_np, dp, _, _ = run_once()
+    for i in (0, n_streams // 2, n_streams - 1):
+        if out_np[i, : dp[i]].tobytes() != payloads[i]:
+            log(f"MISMATCH lane {i}!")
+            print(json.dumps({"metric": "inflate_GBps_per_chip", "value": 0.0,
+                              "unit": "GB/s", "vs_baseline": 0.0,
+                              "error": "mismatch"}))
+            return
+
+    times = []
+    for r in range(reps):
+        _out, _dp, t_dec, t_res = run_once()
+        dt = t_dec + t_res
+        times.append(dt)
+        log(f"rep {r}: decode+fetch {t_dec*1e3:.1f}ms + "
+            f"resolve({'host' if use_host else 'device'}) {t_res*1e3:.1f}ms "
+            f"-> {raw_bytes/dt/1e9:.3f} GB/s")
+
+    best = min(times)
+    gbps = raw_bytes / best / 1e9
+    result = {
+        "metric": "inflate_GBps_per_chip",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / 1.0, 4),
+        "device": dev_kind,
+        "streams": n_streams,
+        "block": block,
+        "raw_mb": round(raw_bytes / 1e6, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,9 +20,12 @@
 // Result codes match defl_tpu.errors.Result (OK=0, UNFINISHED=2, ERR=-1,
 // EFULL=-105).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -809,9 +812,104 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
   return R_OK;
 }
 
+// ----------------------------------------------------- token resolver -----
+// Pass 2 of the hybrid device+host inflate: expand the TPU decoder's token
+// stream (defl_tpu/ops/inflate_batch.py encoding) into output bytes.
+// One worker thread per group of lanes; each lane is pure sequential
+// memcpy/copy work, so this runs at memory bandwidth.
+
+struct ResolveArgs {
+  const uint32_t* tokens;   // [N, T] row-major (lane-major)
+  int64_t T;
+  const uint8_t* input;     // [N, in_stride] packed compressed bytes
+  uint64_t in_stride;
+  uint8_t* out;             // [N, out_stride]
+  uint64_t out_stride;
+  const int32_t* dst_len;   // [N]
+  const uint8_t* dict;
+  uint32_t dict_len;
+};
+
+void resolve_lane(const ResolveArgs& a, int64_t n) {
+  const uint32_t* tok = a.tokens + n * a.T;
+  const uint8_t* in = a.input + n * a.in_stride;
+  uint8_t* out = a.out + n * a.out_stride;
+  int64_t want = a.dst_len[n];
+  int64_t p = 0;
+  for (int64_t t = 0; t < a.T && p < want; t++) {
+    uint32_t v = tok[t];
+    uint32_t kind = v >> 30;
+    if (kind == 0) continue;
+    if (kind == 1) {  // literal (possibly a pair)
+      out[p++] = (uint8_t)v;
+      if (v & (1u << 16)) out[p++] = (uint8_t)(v >> 8);
+      continue;
+    }
+    if (kind == 3) {  // stored run straight from the input
+      uint32_t run = ((v >> 22) & 0xFF) + 1;
+      uint32_t off = v & 0x3FFFFF;
+      memcpy(out + p, in + off, run);
+      p += run;
+      continue;
+    }
+    // match
+    uint32_t len = ((v >> 21) & 0x1FF) + 3;
+    uint32_t dist = (v & 0x7FFF) + 1;
+    int64_t src = p - (int64_t)dist;
+    if (src < 0) {  // reaches into the shared preset dictionary
+      uint32_t from_dict = (uint32_t)(-src);
+      if (from_dict > len) from_dict = len;
+      memcpy(out + p, a.dict + a.dict_len - (uint32_t)(-src), from_dict);
+      p += from_dict;
+      len -= from_dict;
+      src = 0;
+      if (!len) continue;
+    }
+    if (dist >= len) {
+      memcpy(out + p, out + src, len);
+    } else {
+      uint8_t* d = out + p;
+      const uint8_t* s = out + src;
+      for (uint32_t k = 0; k < len; k++) d[k] = s[k];
+    }
+    p += len;
+  }
+}
+
+void resolve_all(const ResolveArgs& a, int64_t N, int n_threads) {
+  if (n_threads <= 1) {
+    for (int64_t n = 0; n < N; n++) resolve_lane(a, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  std::atomic<int64_t> next{0};
+  for (int i = 0; i < n_threads; i++) {
+    ts.emplace_back([&] {
+      for (;;) {
+        int64_t n = next.fetch_add(1);
+        if (n >= N) return;
+        resolve_lane(a, n);
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+}
+
 }  // namespace
 
 extern "C" {
+
+int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
+                      const uint8_t* input, uint64_t in_stride,
+                      uint8_t* out, uint64_t out_stride,
+                      const int32_t* dst_len,
+                      const uint8_t* dict, uint32_t dict_len,
+                      int n_threads) {
+  ResolveArgs a{tokens, T, input, in_stride, out, out_stride,
+                dst_len, dict, dict_len};
+  resolve_all(a, N, n_threads);
+  return 0;
+}
 
 int dt_inflate(const uint8_t* src, uint64_t srclen, uint8_t* dst,
                uint64_t dstcap, uint64_t* dstlen, int flags) {

@@ -4,31 +4,41 @@ TPU-native redesign of the reference's serial decode loops
 (`infl_ft_block`, /root/reference/src/infl/infl.c:717-901, and the
 streaming machine, stream.c:468-794).  DEFLATE is bit-serial *within* a
 stream, so the exploitable parallelism is *across* streams: N independent
-streams advance in lockstep, one per vector lane.  Each step every lane:
+streams advance in lockstep, one per vector lane.
 
-  1. gathers a 32-bit window at its bit cursor (`bitio.peek32`),
-  2. runs a *tableless* canonical-Huffman decode — bit-reverse once, then
-     15 rounds of compare/select against per-lane `first_code[len]`
-     (pure VPU arithmetic; the only memory access is one small gather into
-     the per-lane sorted-symbol bank) — or parses a fixed-width header
-     field, depending on its per-lane state machine state,
-  3. emits one token (literal / match / stored-run / nop) into the token
-     buffer at the uniform step index.
+The kernel is shaped by two measured TPU realities (see git history):
+XLA:TPU lowers per-lane gathers to ~60-300ns/element serial loops, and
+scan carries are copied every step.  Consequently:
+
+  - The scan carry holds ONLY small (N,) lane scalars.  Everything wide —
+    packed input, Huffman structures, the code-lengths array — lives at
+    *chunk* level, invariant inside the scan (no per-step copies).
+  - Each lane reads its bitstream through a per-chunk VMEM-sized window
+    (`win` [N, WIN] words, recentred between chunks by one contiguous
+    per-lane gather).  Per-step word extraction is a two-stage
+    compare/select reduction — pure VPU arithmetic, no gathers.
+  - Huffman symbol decode is *tableless*: bit-reverse the peeked window
+    once, then 15 rounds of compare/select against per-lane
+    ``first_code[len]``; the final rank->symbol step is a one-hot
+    select-reduction over the symbol bank (pure VPU).
+  - Each step decodes a whole match (litlen + distance from a second
+    32-bit window) or a literal *pair* — one token per step.
+  - Dynamic-header code lengths are emitted as header tokens and folded
+    into the chunk-level ``lens`` array between chunks; the 19 code-length
+    code lengths pack into two u32 lane scalars.
+
+Huffman table builds (vectorised argsort over code lengths) run between
+scan chunks, amortised over all lanes that flagged ``need_build``.
+
+Pass 2 (`ops.resolve` on-device, or the multithreaded C++ resolver in
+``native/defl_host.cc`` on the perf path) turns the token stream into
+bytes — the two-pass replacement for the reference's sequential
+sliding-window copies (infl.c:269-376).
 
 The per-lane state machine mirrors the reference's streaming states
-(`infl_stream_state_t`, src/common.h:86-97): ZHDR, DICTID, BHDR,
-STORED_HDR/LEN/BODY, CLEN_HDR, CLEN_LENS, LENS, WAIT_BUILD, SYM, DIST,
-DONE/ERR/FULL.  Huffman table *builds* (the expensive, rarely-needed
-vectorised argsort pass) run between scan chunks, amortised over all lanes
-that flagged `need_build` during the chunk.
-
-Pass 2 (`ops.resolve`) turns the token stream into output bytes with
-cumsum + pointer-doubling gathers — the two-pass replacement for the
-reference's sequential sliding-window copies (infl.c:269-376).
-
-The whole decoder is shape-static and jit-compatible; the same carry
-pytree doubles as the resumable streaming state (SURVEY §5 "checkpoint /
-resume": the reference's `unz__stream_t` is exactly this carry).
+(`infl_stream_state_t`, src/common.h:86-97) and the whole decoder is
+shape-static, jit-compatible, and resumable (the carry pytree is the
+`unz__stream_t` analog; SURVEY §5 "checkpoint/resume").
 """
 
 from __future__ import annotations
@@ -43,7 +53,7 @@ from defl_tpu import constants as C
 from defl_tpu.core import huffman
 from defl_tpu.errors import Result
 from defl_tpu.ops import tables
-from defl_tpu.ops.bitio import I32, U32, bitrev16, extract, peek32
+from defl_tpu.ops.bitio import I32, U32, bitrev16, extract
 
 # ---- lane states -----------------------------------------------------------
 S_ZHDR = 0
@@ -56,35 +66,42 @@ S_CLEN_HDR = 6      # HLIT/HDIST/HCLEN
 S_CLEN_LENS = 7     # 3-bit codelen code lengths
 S_LENS = 8          # codelen-coded litlen+dist lengths
 S_WAIT = 9          # stalled until the between-chunk table build
-S_SYM = 10          # litlen symbol decode
-S_DIST = 11         # distance symbol decode
-S_DONE = 12
-S_ERR = 13
-S_FULL = 14
+S_SYM = 10          # symbol decode (litlen + same-step dist / 2nd literal)
+S_DONE = 11
+S_ERR = 12
+S_FULL = 13
 
 STATUS_RUNNING = 127
 
 # ---- token encoding (u32) --------------------------------------------------
 # kind in bits [31:30]: 0 NOP | 1 LIT | 2 MATCH | 3 STORED
-# LIT:    byte in [7:0]
+# LIT:    byte in [7:0]; bit 16 set => second byte rides in [15:8]
 # MATCH:  (len-3) in [29:21], (dist-1) in [14:0]
 # STORED: (run-1) in [29:22], input byte offset in [21:0]  (=> streams <4MiB)
 TOK_NOP = 0
 TOK_LIT = 1
 TOK_MATCH = 2
 TOK_STORED = 3
+TOK_LIT_PAIR_BIT = 1 << 16
 STORED_MAX_RUN = 256
 
-# ---- constant tables -------------------------------------------------------
-# Kept as NumPy arrays on purpose: module-level jax.Arrays embed into MLIR
-# via a device fetch at lowering time, which serialises against backend
-# init; NumPy constants lower without touching any device.
-_LBASE = C.LENGTH_BASE_NP
-_LEXTRA = C.LENGTH_EXTRA_NP
-_DBASE = C.DIST_BASE_NP
-_DEXTRA = C.DIST_EXTRA_NP
-_ORD = C.CODELEN_ORDER_NP
+#: input window length in u32 words; WIN*32 bits must exceed the worst-case
+#: bit consumption of one scan chunk (K steps x 48 bits) plus slack.
+WIN = 256
 
+
+def step_budget(dst_capacity: int) -> int:
+    """Default decode-step budget for a given output capacity.
+
+    With literal pairs and one-step matches, a valid stream needs at most
+    ~C/2 symbol steps plus header steps; pathological streams (e.g. floods
+    of empty blocks) that exceed the budget fall back to the host engine
+    (runtime/session.py).
+    """
+    return dst_capacity * 5 // 8 + 4096
+
+# ---- constant tables (NumPy on purpose: jax.Array module constants embed
+# via device fetch at lowering time and serialise against backend init) ----
 _fx_lit = huffman.build_decode(C.FIXED_LITLEN_LENGTHS)
 _fx_dist = huffman.build_decode(C.FIXED_DIST_LENGTHS)
 
@@ -106,179 +123,363 @@ _FX_DIST_FIRST = _fx_dist.first_code
 _FX_DIST_OFFS = _fx_dist.offset + tables.DIST_BASE_
 
 
-def _init_state(N):
+#: litlen+dist code lengths, nibble-packed: 320 lengths x 4 bits = 40 u32
+LENS_WORDS = 40
+
+
+def _init_scan_state(N):
+    """Small per-lane carry: (N,) scalars plus the nibble-packed lens
+    array (320 x 4-bit lengths in 40 u32 words — small enough that the
+    per-step carry copy is cheap, wide enough to hold a whole dynamic
+    header without any chunk-level fold pass)."""
+    z = lambda: jnp.zeros((N,), I32)
+    return dict(
+        state=z(), bitpos=z(), final=z(), hlit=z(), hdist=z(), hclen=z(),
+        idx=z(), prev=z(), dst_pos=z(), need_build=z(), resume_state=z(),
+        cl_lo=jnp.zeros((N,), U32), cl_hi=jnp.zeros((N,), U32),
+        lens_pk=jnp.zeros((N, LENS_WORDS), U32),
+        status=jnp.full((N,), STATUS_RUNNING, I32),
+    )
+
+
+def _init_chunk_state(N):
+    """Wide arrays touched only between chunks."""
     z16 = jnp.zeros((N, 16), I32)
     return dict(
-        state=jnp.zeros((N,), I32),
-        bitpos=jnp.zeros((N,), I32),
-        final=jnp.zeros((N,), I32),
-        hlit=jnp.zeros((N,), I32),
-        hdist=jnp.zeros((N,), I32),
-        hclen=jnp.zeros((N,), I32),
-        idx=jnp.zeros((N,), I32),
-        prev=jnp.zeros((N,), I32),
-        len_val=jnp.zeros((N,), I32),
-        resume_state=jnp.zeros((N,), I32),
-        dst_pos=jnp.zeros((N,), I32),
-        status=jnp.full((N,), STATUS_RUNNING, I32),
-        need_build=jnp.zeros((N,), I32),
-        cl_lens=jnp.zeros((N, 19), I32),
-        lens=jnp.zeros((N, 320), I32),
-        count=jnp.stack([z16, z16, z16], axis=1),   # [N, 3, 16] CL/LIT/DIST
+        win=jnp.zeros((N, WIN), U32),
+        win_word=jnp.full((N,), -(10 * WIN), I32),
+        count=jnp.stack([z16, z16, z16], axis=1),   # [N,3,16] CL/LIT/DIST
         first=jnp.stack([z16, z16, z16], axis=1),
         offs=jnp.stack([z16, z16, z16], axis=1),
         syms=jnp.zeros((N, tables.SYMS_BANK), I32),
     )
 
 
+def _unpack_lens(lens_pk, width):
+    """[N, LENS_WORDS] packed nibbles -> [N, width] int32 lengths."""
+    cols = []
+    for p in range(width):
+        w = lens_pk[:, p >> 3]
+        cols.append(((w >> U32(4 * (p & 7))) & U32(0xF)).astype(I32))
+    return jnp.stack(cols, axis=1)
+
+
+def _write_lens_run(lens_pk, mask, start, end, val):
+    """OR value nibbles into positions [start, end) of the packed lens
+    array for masked lanes — pure [N, 40] arithmetic, no scatter."""
+    w8 = 8 * jnp.arange(LENS_WORDS, dtype=I32)[None, :]
+    lo = jnp.clip(start[:, None] - w8, 0, 8)
+    hi = jnp.clip(end[:, None] - w8, 0, 8)
+    n = (hi - lo).astype(U32)
+    m = jnp.where(n >= 8, U32(0xFFFFFFFF),
+                  ((U32(1) << ((U32(4) * n) & U32(31))) - U32(1))
+                  << (U32(4) * lo.astype(U32)))
+    m = jnp.where(mask[:, None] & (n > 0), m, U32(0))
+    splat = (val.astype(U32) * U32(0x11111111))[:, None]
+    return lens_pk | (splat & m)
+
+
+def _ord_arith(idx):
+    """RFC1951 code-length order (apicommon.h:52) as closed-form arithmetic
+    (a 19-entry per-lane gather would serialise).  idx in [0, 19)."""
+    j = idx - 4
+    paired = jnp.where((j & 1) == 1, 8 - ((j + 1) >> 1), 8 + (j >> 1))
+    return jnp.where(idx < 3, 16 + idx, jnp.where(idx == 3, 0, paired))
+
+
+def _extract_words(win, loc):
+    """Per-lane extraction of 3 consecutive u32 words win[n, loc[n]+k]
+    (k=0,1,2) via two-stage compare/select reductions — no gathers.
+
+    win: [N, WIN] u32;  loc: [N] int32 in [0, WIN-3].
+    Returns (w0, w1, w2) each [N] u32.
+    """
+    N = win.shape[0]
+    G = WIN // 16  # groups of 16
+    win3 = win.reshape(N, G, 16)
+    hi = loc >> 4
+    gi = jnp.arange(G, dtype=I32)[None, :, None]
+    # two adjacent groups cover loc..loc+2 across a boundary
+    sel0 = jnp.sum(jnp.where(gi == hi[:, None, None], win3, U32(0)), axis=1)
+    sel1 = jnp.sum(jnp.where(gi == (hi + 1)[:, None, None], win3, U32(0)),
+                   axis=1)
+    sub = jnp.concatenate([sel0, sel1], axis=1)  # [N, 32]
+    lo = loc & 15
+    ii = jnp.arange(32, dtype=I32)[None, :]
+    w0 = jnp.sum(jnp.where(ii == lo[:, None], sub, U32(0)), axis=1)
+    w1 = jnp.sum(jnp.where(ii == (lo + 1)[:, None], sub, U32(0)), axis=1)
+    w2 = jnp.sum(jnp.where(ii == (lo + 2)[:, None], sub, U32(0)), axis=1)
+    return w0, w1, w2
+
+
+def _window32(w0, w1, b):
+    """32-bit LSB-first window at bit offset b (0..63) within (w0,w1)."""
+    b = b.astype(U32)
+    hi = jnp.where(b == 0, U32(0), w1 << ((U32(32) - b) & U32(31)))
+    return jnp.where(b == 0, w0, (w0 >> b) | hi)
+
+
+def _onehot_lookup(bank, idx):
+    """bank[n, idx[n]] via one-hot select-reduce (values < 2^31)."""
+    ii = jnp.arange(bank.shape[1], dtype=I32)[None, :]
+    return jnp.sum(jnp.where(ii == idx[:, None], bank, 0), axis=1)
+
+
+def _canonical_decode(ck, peek, is_cl, is_dist):
+    """Tableless canonical decode against a per-lane table selector.
+
+    Returns (sym, clen, found).  The per-length compare/select rounds are
+    the vectorised form of the oracle's `_decode_symbol`; the rank->symbol
+    step is a one-hot reduction over the symbol bank.
+    """
+    rev = bitrev16(peek & U32(0x7FFF)) >> U32(1)  # 15-bit reversal
+    found = jnp.zeros(is_cl.shape, bool)
+    symidx = jnp.zeros(is_cl.shape, I32)
+    clen = jnp.zeros(is_cl.shape, I32)
+    for l in range(1, C.MAX_CODE_LENGTH + 1):
+        cand = (rev >> U32(15 - l)).astype(I32)
+        first = jnp.where(is_cl, ck["first"][:, 0, l],
+                          jnp.where(is_dist, ck["first"][:, 2, l],
+                                    ck["first"][:, 1, l]))
+        cnt = jnp.where(is_cl, ck["count"][:, 0, l],
+                        jnp.where(is_dist, ck["count"][:, 2, l],
+                                  ck["count"][:, 1, l]))
+        offs = jnp.where(is_cl, ck["offs"][:, 0, l],
+                         jnp.where(is_dist, ck["offs"][:, 2, l],
+                                   ck["offs"][:, 1, l]))
+        off = cand - first
+        hit = (~found) & (off >= 0) & (off < cnt)
+        symidx = jnp.where(hit, offs + off, symidx)
+        clen = jnp.where(hit, l, clen)
+        found = found | hit
+    sym = _onehot_lookup(ck["syms"], symidx)
+    return sym, clen, found
+
+
+def _length_from_sym(sym, peek, off):
+    """Closed-form RFC1951 length-code expansion (no table gathers)."""
+    eb = jnp.clip((sym - 261) >> 2, 0, 5)
+    base = jnp.where(sym <= 264, sym - 254,
+                     ((((sym - 261) & 3) + 4) << eb) + 3)
+    eb = jnp.where(sym >= 285, 0, eb)
+    base = jnp.where(sym >= 285, 258, base)
+    return base + extract(peek, off, eb).astype(I32), eb
+
+
+def _dist_from_sym(dsym, peek, off):
+    """Closed-form distance expansion."""
+    eb = jnp.clip((dsym >> 1) - 1, 0, 13)
+    base = jnp.where(dsym < 4, dsym + 1, ((2 + (dsym & 1)) << eb) + 1)
+    eb = jnp.where(dsym < 4, 0, eb)
+    return base + extract(peek, off, eb).astype(I32), eb
+
+
 # ---------------------------------------------------------------------------
-# between-chunk table builds
+# between-chunk passes: window refill, lens fold-in, table builds
 # ---------------------------------------------------------------------------
 
-def _apply_builds(st):
+SEG = WIN // 2  # segment width in words; windows cover 2 aligned segments
+
+
+def _refill_windows(ck, st, words_lo3, words_hi3):
+    """Recentre lanes' input windows at their bit cursors.
+
+    XLA:TPU serialises even contiguous per-lane gathers (~20ns/element),
+    so the refill is instead an MXU one-hot contraction: the input is
+    pre-split into exact f32 halves tiled as [N, S, SEG]; selecting lane
+    n's aligned segment pair is `einsum('ns,nsw->nw')` with a one-hot
+    [N, S] — a batched vector-matrix product the MXU executes in
+    microseconds.  Gated to run only when some active lane is past the
+    halfway mark (a mid-chunk overrun merely stalls that lane until the
+    next refill).
+    """
+    S = words_lo3.shape[1]
+
+    def refill(ck):
+        seg = jnp.clip((st["bitpos"] >> 5) // SEG, 0, S - 1)
+        s_iota = jnp.arange(S, dtype=I32)[None, :]
+        oh0 = (s_iota == seg[:, None]).astype(jnp.float32)
+        oh1 = (s_iota == jnp.clip(seg + 1, 0, S - 1)[:, None]).astype(
+            jnp.float32)
+
+        def pick(oh):
+            lo = jnp.einsum("ns,nsw->nw", oh, words_lo3,
+                            preferred_element_type=jnp.float32)
+            hi = jnp.einsum("ns,nsw->nw", oh, words_hi3,
+                            preferred_element_type=jnp.float32)
+            return (hi.astype(U32) << U32(16)) | lo.astype(U32)
+
+        win = jnp.concatenate([pick(oh0), pick(oh1)], axis=1)
+        ck = dict(ck)
+        ck["win"] = win
+        ck["win_word"] = seg * SEG
+        return ck
+
+    active = st["status"] == STATUS_RUNNING
+    loc = (st["bitpos"] >> 5) - ck["win_word"]
+    need = jnp.any(active & ((loc < 0) | (loc > WIN // 2)))
+    return jax.lax.cond(need, refill, lambda c: c, ck)
+
+
+def _unpack_cl(cl_lo, cl_hi):
+    """Two packed u32 scalars -> [N, 19] code-length code lengths."""
+    cols = []
+    for j in range(19):
+        if j < 10:
+            cols.append(((cl_lo >> U32(3 * j)) & U32(7)).astype(I32))
+        else:
+            cols.append(((cl_hi >> U32(3 * (j - 10))) & U32(7)).astype(I32))
+    return jnp.stack(cols, axis=1)
+
+
+def _apply_builds(ck, st):
     """Convert lanes waiting on a Huffman build; vectorised and masked."""
     nb = st["need_build"]
 
-    def set_table(st, tbl, mask, count, first, offs, syms_region, syms_base):
+    def set_table(ck, tbl, mask, count, first, offs, syms_region, syms_base):
         m = mask[:, None]
-        st["count"] = st["count"].at[:, tbl, :].set(
-            jnp.where(m, count, st["count"][:, tbl, :]))
-        st["first"] = st["first"].at[:, tbl, :].set(
-            jnp.where(m, first, st["first"][:, tbl, :]))
-        st["offs"] = st["offs"].at[:, tbl, :].set(
-            jnp.where(m, offs, st["offs"][:, tbl, :]))
+        ck["count"] = ck["count"].at[:, tbl, :].set(
+            jnp.where(m, count, ck["count"][:, tbl, :]))
+        ck["first"] = ck["first"].at[:, tbl, :].set(
+            jnp.where(m, first, ck["first"][:, tbl, :]))
+        ck["offs"] = ck["offs"].at[:, tbl, :].set(
+            jnp.where(m, offs, ck["offs"][:, tbl, :]))
         w = syms_region.shape[1]
-        st["syms"] = st["syms"].at[:, syms_base : syms_base + w].set(
-            jnp.where(m, syms_region, st["syms"][:, syms_base : syms_base + w]))
-        return st
+        ck["syms"] = ck["syms"].at[:, syms_base : syms_base + w].set(
+            jnp.where(m, syms_region, ck["syms"][:, syms_base : syms_base + w]))
+        return ck
 
-    def build_cl(st):
+    def build_cl(args):
+        ck, st = args
         mask = nb == 1
-        cnt, first, offs, syms, oversub = tables.build_canonical(st["cl_lens"])
-        st = set_table(st, 0, mask, cnt, first, offs + tables.CL_BASE,
+        cl_lens = _unpack_cl(st["cl_lo"], st["cl_hi"])
+        cnt, first, offs, syms, oversub = tables.build_canonical(cl_lens)
+        ck = set_table(dict(ck), 0, mask, cnt, first, offs + tables.CL_BASE,
                        syms, tables.CL_BASE)
         bad = mask & oversub
         ok = mask & ~oversub
+        st = dict(st)
         st["status"] = jnp.where(bad, Result.ERR, st["status"])
         st["state"] = jnp.where(bad, S_ERR,
                                 jnp.where(ok, S_LENS, st["state"]))
         st["idx"] = jnp.where(ok, 0, st["idx"])
         st["prev"] = jnp.where(ok, 0, st["prev"])
-        st["lens"] = jnp.where(mask[:, None], 0, st["lens"])
-        return st
+        st["lens_pk"] = jnp.where(mask[:, None], U32(0), st["lens_pk"])
+        return ck, st
 
-    def build_litdist(st):
+    def build_litdist(args):
+        ck, st = args
         mask = nb == 2
+        lens = _unpack_lens(st["lens_pk"], 320)
         pos288 = jnp.arange(288, dtype=I32)[None, :]
-        lit_lens = jnp.where(pos288 < st["hlit"][:, None],
-                             st["lens"][:, :288], 0)
+        lit_lens = jnp.where(pos288 < st["hlit"][:, None], lens[:, :288], 0)
         cnt, first, offs, syms, over_l = tables.build_canonical(lit_lens)
-        st = set_table(st, 1, mask, cnt, first, offs + tables.LIT_BASE,
+        ck = set_table(dict(ck), 1, mask, cnt, first, offs + tables.LIT_BASE,
                        syms, tables.LIT_BASE)
 
+        # distance lengths start at per-lane hlit: extract nibble hlit+k
+        # straight from the packed words via a 40-word one-hot (the naive
+        # [N,320,32] formulation materialises 42MB per build)
         k32 = jnp.arange(32, dtype=I32)[None, :]
-        didx = st["hlit"][:, None] + k32
-        dist_lens = jnp.where(
-            k32 < st["hdist"][:, None],
-            jnp.take_along_axis(st["lens"], jnp.clip(didx, 0, 319), axis=1),
-            0,
-        )
+        nib = st["hlit"][:, None] + k32            # [N, 32] nibble index
+        wsel = jnp.arange(LENS_WORDS, dtype=I32)[None, None, :]
+        word = jnp.sum(
+            jnp.where(wsel == (nib >> 3)[:, :, None],
+                      st["lens_pk"][:, None, :], U32(0)), axis=2)
+        dist_lens = ((word >> (U32(4) * (nib & 7).astype(U32))) &
+                     U32(0xF)).astype(I32)
+        dist_lens = jnp.where(k32 < st["hdist"][:, None], dist_lens, 0)
         cntd, firstd, offsd, symsd, over_d = tables.build_canonical(dist_lens)
-        st = set_table(st, 2, mask, cntd, firstd, offsd + tables.DIST_BASE_,
+        ck = set_table(ck, 2, mask, cntd, firstd, offsd + tables.DIST_BASE_,
                        symsd, tables.DIST_BASE_)
 
-        no_eob = st["lens"][:, 256] == 0  # a block needs a real EOB code
+        no_eob = lens[:, 256] == 0  # a block needs a real EOB code
         bad = mask & (over_l | over_d | no_eob)
         ok = mask & ~bad
+        st = dict(st)
         st["status"] = jnp.where(bad, Result.ERR, st["status"])
         st["state"] = jnp.where(bad, S_ERR,
                                 jnp.where(ok, S_SYM, st["state"]))
-        return st
+        return ck, st
 
-    def build_fixed(st):
+    def build_fixed(args):
+        ck, st = args
         mask = nb == 3
-        st = set_table(st, 1, mask,
+        ck = set_table(dict(ck), 1, mask,
                        _FX_LIT_COUNT[None, :], _FX_LIT_FIRST[None, :],
                        _FX_LIT_OFFS[None, :], _FX_LIT_SYMS[None, :],
                        tables.LIT_BASE)
-        st = set_table(st, 2, mask,
+        ck = set_table(ck, 2, mask,
                        _FX_DIST_COUNT[None, :], _FX_DIST_FIRST[None, :],
                        _FX_DIST_OFFS[None, :], _FX_DIST_SYMS[None, :],
                        tables.DIST_BASE_)
+        st = dict(st)
         st["state"] = jnp.where(mask, S_SYM, st["state"])
-        return st
+        return ck, st
 
-    def run(st):
-        st = jax.lax.cond(jnp.any(nb == 1), build_cl, lambda s: s, st)
-        st = jax.lax.cond(jnp.any(nb == 2), build_litdist, lambda s: s, st)
-        st = jax.lax.cond(jnp.any(nb == 3), build_fixed, lambda s: s, st)
+    def run(args):
+        ck, st = args
+        ck, st = jax.lax.cond(jnp.any(nb == 1), build_cl,
+                              lambda a: a, (ck, st))
+        ck, st = jax.lax.cond(jnp.any(nb == 2), build_litdist,
+                              lambda a: a, (ck, st))
+        ck, st = jax.lax.cond(jnp.any(nb == 3), build_fixed,
+                              lambda a: a, (ck, st))
+        st = dict(st)
         st["need_build"] = jnp.zeros_like(nb)
-        return st
+        return ck, st
 
-    return jax.lax.cond(jnp.any(nb > 0), run, lambda s: s, st)
+    # Builds are batched: run only once enough lanes are waiting (they sit
+    # in S_WAIT meanwhile), or when every remaining runnable lane is
+    # waiting — amortises the argsort passes without ever deadlocking.
+    n_wait = jnp.sum((nb > 0).astype(I32))
+    runnable = (st["status"] == STATUS_RUNNING) & (st["state"] != S_WAIT)
+    do_build = (n_wait > 0) & (
+        (n_wait >= nb.shape[0] // 8) | ~jnp.any(runnable))
+    return jax.lax.cond(do_build, run, lambda a: a, (ck, st))
 
 
 # ---------------------------------------------------------------------------
 # one lockstep step
 # ---------------------------------------------------------------------------
 
-def _canonical_decode(st, peek):
-    """Tableless canonical decode for lanes in S_LENS/S_SYM/S_DIST.
-
-    Returns (sym, clen, found).  The per-length compare/select rounds are
-    the vectorised form of the oracle's `_decode_symbol` and replace the
-    reference's flat-table gather (infl.c:730-745) with VPU arithmetic.
-    """
+def _step(st, ck, nbits, cap, dict_len, has_dict):
     s = st["state"]
-    is_cl = s == S_LENS
-    is_dist = s == S_DIST
+    N = s.shape[0]
 
-    rev = bitrev16(peek & U32(0x7FFF)) >> U32(1)  # 15-bit reversal
-    found = jnp.zeros(s.shape, bool)
-    symidx = jnp.zeros(s.shape, I32)
-    clen = jnp.zeros(s.shape, I32)
-    for l in range(1, C.MAX_CODE_LENGTH + 1):
-        cand = (rev >> U32(15 - l)).astype(I32)
-        first = jnp.where(is_cl, st["first"][:, 0, l],
-                          jnp.where(is_dist, st["first"][:, 2, l],
-                                    st["first"][:, 1, l]))
-        cnt = jnp.where(is_cl, st["count"][:, 0, l],
-                        jnp.where(is_dist, st["count"][:, 2, l],
-                                  st["count"][:, 1, l]))
-        offs = jnp.where(is_cl, st["offs"][:, 0, l],
-                         jnp.where(is_dist, st["offs"][:, 2, l],
-                                   st["offs"][:, 1, l]))
-        off = cand - first
-        hit = (~found) & (off >= 0) & (off < cnt)
-        symidx = jnp.where(hit, offs + off, symidx)
-        clen = jnp.where(hit, l, clen)
-        found = found | hit
-    sym = jnp.take_along_axis(st["syms"], symidx[:, None], axis=1)[:, 0]
-    return sym, clen, found
-
-
-def _step(st, words, nbits, cap, dict_len, has_dict):
-    s = st["state"]
-    peek = peek32(words, st["bitpos"])
-    peek_i = peek.astype(I32)  # low 31 bits as signed-safe view
+    # ---- input window extraction (pure VPU) ----
+    loc = (st["bitpos"] >> 5) - ck["win_word"]
+    win_miss = (loc < 0) | (loc > WIN - 4)
+    loc_c = jnp.clip(loc, 0, WIN - 4)
+    w0, w1, w2 = _extract_words(ck["win"], loc_c)
+    b = st["bitpos"] & 31
+    peek = _window32(w0, w1, b)
+    peek_i = peek.astype(I32)
     avail = nbits - st["bitpos"]
 
     consume = jnp.zeros_like(s)
     nstate = s
-    token = jnp.zeros(s.shape, U32)
+    token = jnp.zeros((N,), U32)
     status = st["status"]
     final = st["final"]
     hlit, hdist, hclen = st["hlit"], st["hdist"], st["hclen"]
-    idx, prev, len_val = st["idx"], st["prev"], st["len_val"]
+    idx, prev = st["idx"], st["prev"]
     dst_pos = st["dst_pos"]
     need_build = st["need_build"]
-    cl_lens = st["cl_lens"]
+    cl_lo, cl_hi = st["cl_lo"], st["cl_hi"]
     resume_state = st["resume_state"]
 
-    stalled = jnp.zeros(s.shape, bool)
+    stalled = jnp.zeros((N,), bool)
+    # lanes whose window no longer covers the cursor idle until the next
+    # chunk-boundary refill (only stored-block jumps land here); S_STORED
+    # itself never reads the window.
+    blocked = win_miss & (s != S_STORED) & (s < S_DONE) & (s != S_WAIT)
+
+    def act(mask):
+        return mask & ~blocked
 
     # ---- S_ZHDR ----
-    m = s == S_ZHDR
+    m = act(s == S_ZHDR)
     cmf = peek_i & 0xFF
     flg = (peek_i >> 8) & 0xFF
     zok = ((cmf & 0xF) == C.ZLIB_CM_DEFLATE) & ((cmf >> 4) <= C.ZLIB_MAX_CINFO) \
@@ -294,14 +495,14 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     stalled = stalled | (m & ~enough)
 
     # ---- S_DICTID ----
-    m = s == S_DICTID
+    m = act(s == S_DICTID)
     enough = avail >= 32
     nstate = jnp.where(m & enough, S_BHDR, nstate)
     consume = jnp.where(m & enough, 32, consume)
     stalled = stalled | (m & ~enough)
 
     # ---- S_BHDR ----
-    m = s == S_BHDR
+    m = act(s == S_BHDR)
     enough = avail >= 3
     bf = peek_i & 1
     bt = (peek_i >> 1) & 3
@@ -316,13 +517,13 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     stalled = stalled | (m & ~enough)
 
     # ---- S_STORED_HDR: byte-align ----
-    m = s == S_STORED_HDR
+    m = act(s == S_STORED_HDR)
     pad = (-st["bitpos"]) & 7
     nstate = jnp.where(m, S_STORED_LEN, nstate)
     consume = jnp.where(m, pad, consume)
 
     # ---- S_STORED_LEN ----
-    m = s == S_STORED_LEN
+    m = act(s == S_STORED_LEN)
     enough = avail >= 32
     slen = peek_i & 0xFFFF
     snlen = (peek_i >> 16) & 0xFFFF
@@ -336,14 +537,14 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     idx = jnp.where(m & enough & lok, slen, idx)
     stalled = stalled | (m & ~enough)
 
-    # ---- S_STORED: emit stored-run tokens ----
+    # ---- S_STORED: emit stored-run tokens (reads no window bits) ----
     m = s == S_STORED
     space = cap - dst_pos
     run = jnp.minimum(jnp.minimum(idx, STORED_MAX_RUN), space)
     run_avail = jnp.minimum(run, avail >> 3)
     is_full = m & (space == 0)
     can = m & (space > 0) & (run_avail > 0)
-    starv = m & (space > 0) & (run_avail == 0)
+    starv = m & (space > 0) & (run_avail <= 0)
     off_bytes = (st["bitpos"] >> 3).astype(U32)
     token = jnp.where(can,
                       (U32(TOK_STORED) << U32(30))
@@ -361,7 +562,7 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     stalled = stalled | starv
 
     # ---- S_CLEN_HDR ----
-    m = s == S_CLEN_HDR
+    m = act(s == S_CLEN_HDR)
     enough = avail >= 14
     h_lit = 257 + (peek_i & 31)
     h_dist = 1 + ((peek_i >> 5) & 31)
@@ -374,18 +575,20 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     hdist = jnp.where(ok & hok, h_dist, hdist)
     hclen = jnp.where(ok & hok, h_clen, hclen)
     idx = jnp.where(ok & hok, 0, idx)
-    cl_lens = jnp.where((ok & hok)[:, None], 0, cl_lens)
+    cl_lo = jnp.where(ok & hok, U32(0), cl_lo)
+    cl_hi = jnp.where(ok & hok, U32(0), cl_hi)
     stalled = stalled | (m & ~enough)
 
-    # ---- S_CLEN_LENS ----
-    m = s == S_CLEN_LENS
+    # ---- S_CLEN_LENS: 3-bit lengths into packed lane scalars ----
+    m = act(s == S_CLEN_LENS)
     enough = avail >= 3
     ok = m & enough
-    col = jnp.take(_ORD, jnp.clip(idx, 0, 18))
-    v3 = peek_i & 7
-    cl_lens = jnp.where(
-        ok[:, None] & (jnp.arange(19, dtype=I32)[None, :] == col[:, None]),
-        v3[:, None], cl_lens)
+    ordi = _ord_arith(jnp.clip(idx, 0, 18))
+    v3 = (peek & U32(7))
+    sh = (3 * ordi).astype(U32)
+    cl_lo = jnp.where(ok & (ordi < 10), cl_lo | (v3 << (sh & U32(31))), cl_lo)
+    cl_hi = jnp.where(ok & (ordi >= 10),
+                      cl_hi | (v3 << ((sh - U32(30)) & U32(31))), cl_hi)
     idx2 = idx + 1
     fin_cl = ok & (idx2 >= hclen)
     consume = jnp.where(ok, 3, consume)
@@ -394,25 +597,24 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     nstate = jnp.where(fin_cl, S_WAIT, nstate)
     stalled = stalled | (m & ~enough)
 
-    # ---- canonical decode for S_LENS / S_SYM / S_DIST ----
-    dec_mask = (s == S_LENS) | (s == S_SYM) | (s == S_DIST)
-    sym, clen, found = _canonical_decode(st, peek)
-    # insufficient bits vs invalid code (see module doc): if not found and
-    # fewer than 15 bits remain, more input could change the outcome.
+    # ---- canonical decode (primary) for S_LENS / S_SYM ----
+    dec_mask = act((s == S_LENS) | (s == S_SYM))
+    is_cl_tbl = s == S_LENS
+    no_tbl = jnp.zeros_like(is_cl_tbl)
+    sym, clen, found = _canonical_decode(ck, peek, is_cl_tbl, no_tbl)
     dec_stall = dec_mask & ((~found & (avail < 15)) | (found & (clen > avail)))
     dec_err = dec_mask & ~found & (avail >= 15)
     dec_ok = dec_mask & found & (clen <= avail) & ~dec_err
     stalled = stalled | dec_stall
     nstate = jnp.where(dec_err, S_ERR, nstate)
 
-    # ---- S_LENS ----
+    # ---- S_LENS: one codelen symbol -> packed lens nibbles ----
     m = (s == S_LENS) & dec_ok
     is_lit_len = sym < 16
     is16 = sym == 16
     is17 = sym == 17
     is18 = sym == 18
     ebits = jnp.where(is16, 2, jnp.where(is17, 3, jnp.where(is18, 7, 0)))
-    # stall if extra bits exceed what's available
     lens_stall = m & (clen + ebits > avail)
     stalled = stalled | lens_stall
     m = m & ~lens_stall
@@ -426,101 +628,105 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
     lerr = m & (bad16 | over)
     lok2 = m & ~(bad16 | over)
     nstate = jnp.where(lerr, S_ERR, nstate)
-    status = jnp.where(lerr, Result.ERR, status)
-
-    def write_lens(lens):
-        pos = jnp.arange(320, dtype=I32)[None, :]
-        wmask = lok2[:, None] & (pos >= idx[:, None]) \
-            & (pos < (idx + rep)[:, None]) & (wval[:, None] != 0)
-        return jnp.where(wmask, wval[:, None], lens)
-
-    lens_arr = jax.lax.cond(jnp.any(lok2), write_lens, lambda x: x, st["lens"])
+    lens_pk = _write_lens_run(st["lens_pk"], lok2 & (wval > 0),
+                              idx, idx + rep, wval)
     consume = jnp.where(lok2, clen + ebits, consume)
-    prev = jnp.where(lok2 & is_lit_len, sym, jnp.where(lok2, 0, prev))
-    prev = jnp.where(lok2 & is16, st["prev"], prev)  # 16 keeps prev
+    prev = jnp.where(lok2 & is_lit_len, sym,
+                     jnp.where(lok2 & (is17 | is18), 0, prev))
     idx = jnp.where(lok2, idx + rep, idx)
     fin_lens = lok2 & (idx == total)
     need_build = jnp.where(fin_lens, 2, need_build)
     nstate = jnp.where(fin_lens, S_WAIT, nstate)
 
-    # ---- S_SYM ----
+    # ---- S_SYM: literal / EOB / whole match, one lockstep step ----------
+    # A secondary canonical decode runs on a fresh 32-bit window past the
+    # primary symbol: the *distance* code for matches, or a second literal
+    # for literal runs (packed into one LIT-pair token).  (≙ the
+    # reference's literal-run unrolling + fused extra-bit consume,
+    # infl.c:755-774.)
     m = (s == S_SYM) & dec_ok
-    is_litrl = sym < 256
-    is_eob = sym == 256
-    is_len = (sym > 256) & (sym <= 285)
+    is_lit1 = m & (sym < 256)
+    is_eob = m & (sym == 256)
+    is_len = m & (sym > 256) & (sym <= 285)
     sym_err = m & (sym > 285)
-    # literal
-    lit_full = m & is_litrl & (dst_pos >= cap)
-    lit_ok = m & is_litrl & (dst_pos < cap)
-    token = jnp.where(lit_ok, (U32(TOK_LIT) << U32(30)) | sym.astype(U32), token)
-    consume = jnp.where(lit_ok, clen, consume)
-    dst_pos = jnp.where(lit_ok, dst_pos + 1, dst_pos)
+
+    len_v, leb = _length_from_sym(sym, peek, clen)
+    consumed1 = clen + jnp.where(is_len, leb, 0)
+
+    b2 = b + consumed1            # 0..51 within (w0,w1,w2)
+    w0b = jnp.where(b2 >= 32, w1, w0)
+    w1b = jnp.where(b2 >= 32, w2, w1)
+    peek2 = _window32(w0b, w1b, b2 & 31)
+    avail2 = avail - consumed1
+    sym2, clen2, found2 = _canonical_decode(ck, peek2, no_tbl, is_len)
+
+    # match path
+    dv, deb = _dist_from_sym(sym2, peek2, clen2)
+    consumed2 = clen2 + deb
+    d_stall = is_len & ((~found2 & (avail2 < 15))
+                        | (found2 & (consumed2 > avail2)))
+    d_err = is_len & ~d_stall & (
+        (found2 & (sym2 > 29)) | (~found2 & (avail2 >= 15)))
+    md = is_len & ~d_stall & ~d_err
+    too_far = md & (dv > dst_pos + dict_len)  # ≙ infl.c:1286
+    m_full = md & ~too_far & (dst_pos + len_v > cap)
+    m_ok = md & ~too_far & ~m_full
+    stalled = stalled | d_stall
+    token = jnp.where(
+        m_ok,
+        (U32(TOK_MATCH) << U32(30))
+        | ((len_v - 3).astype(U32) << U32(21))
+        | (dv - 1).astype(U32),
+        token)
+    consume = jnp.where(m_ok, consumed1 + consumed2, consume)
+    dst_pos = jnp.where(m_ok, dst_pos + len_v, dst_pos)
+    nstate = jnp.where(m_full, S_FULL, nstate)
+    status = jnp.where(m_full, Result.EFULL, status)
+    resume_state = jnp.where(m_full, s, resume_state)
+    nstate = jnp.where(sym_err | d_err | too_far, S_ERR, nstate)
+
+    # literal path (second literal rides along when it fits)
+    lit_full = is_lit1 & (dst_pos >= cap)
+    lit1_ok = is_lit1 & ~lit_full
+    lit2_ok = lit1_ok & found2 & (sym2 < 256) & (clen2 <= avail2) \
+        & (dst_pos + 1 < cap)
+    token = jnp.where(
+        lit1_ok,
+        (U32(TOK_LIT) << U32(30)) | sym.astype(U32)
+        | jnp.where(lit2_ok,
+                    U32(TOK_LIT_PAIR_BIT) | (sym2.astype(U32) << U32(8)),
+                    U32(0)),
+        token)
+    consume = jnp.where(lit1_ok, clen + jnp.where(lit2_ok, clen2, 0), consume)
+    dst_pos = jnp.where(lit1_ok, dst_pos + 1 + lit2_ok.astype(I32), dst_pos)
     nstate = jnp.where(lit_full, S_FULL, nstate)
     status = jnp.where(lit_full, Result.EFULL, status)
     resume_state = jnp.where(lit_full, s, resume_state)
-    # end of block
-    consume = jnp.where(m & is_eob, clen, consume)
-    nstate = jnp.where(m & is_eob, jnp.where(final > 0, S_DONE, S_BHDR), nstate)
-    # length symbol
-    lidx = jnp.clip(sym - 257, 0, 28)
-    leb = jnp.take(_LEXTRA, lidx)
-    len_stall = m & is_len & (clen + leb > avail)
-    stalled = stalled | len_stall
-    mlen_ok = m & is_len & ~len_stall
-    lv = jnp.take(_LBASE, lidx) + extract(peek, clen, leb).astype(I32)
-    len_val = jnp.where(mlen_ok, lv, len_val)
-    consume = jnp.where(mlen_ok, clen + leb, consume)
-    nstate = jnp.where(mlen_ok, S_DIST, nstate)
-    nstate = jnp.where(sym_err, S_ERR, nstate)
-    status = jnp.where(sym_err, Result.ERR, status)
 
-    # ---- S_DIST ----
-    m = (s == S_DIST) & dec_ok
-    dsym_err = m & (sym > 29)
-    didx2 = jnp.clip(sym, 0, 29)
-    deb = jnp.take(_DEXTRA, didx2)
-    dist_stall = m & ~(sym > 29) & (clen + deb > avail)
-    stalled = stalled | dist_stall
-    md = m & ~(sym > 29) & ~dist_stall
-    dv = jnp.take(_DBASE, didx2) + extract(peek, clen, deb).astype(I32)
-    too_far = md & (dv > dst_pos + dict_len)  # ≙ infl.c:1286
-    d_full = md & ~too_far & (dst_pos + len_val > cap)
-    d_ok = md & ~too_far & ~(dst_pos + len_val > cap)
-    token = jnp.where(
-        d_ok,
-        (U32(TOK_MATCH) << U32(30))
-        | ((len_val - 3).astype(U32) << U32(21))
-        | (dv - 1).astype(U32),
-        token)
-    consume = jnp.where(d_ok, clen + deb, consume)
-    dst_pos = jnp.where(d_ok, dst_pos + len_val, dst_pos)
-    nstate = jnp.where(d_ok, S_SYM, nstate)
-    nstate = jnp.where(d_full, S_FULL, nstate)
-    status = jnp.where(d_full, Result.EFULL, status)
-    resume_state = jnp.where(d_full, s, resume_state)
-    nstate = jnp.where(dsym_err | too_far, S_ERR, nstate)
+    # end of block
+    consume = jnp.where(is_eob, clen, consume)
+    nstate = jnp.where(is_eob, jnp.where(final > 0, S_DONE, S_BHDR), nstate)
 
     # ---- stalls & terminals -------------------------------------------------
-    # stalls: input exhausted mid-field; resumable with more input
     status = jnp.where(stalled, Result.UNFINISHED, status)
     status = jnp.where(nstate == S_ERR, Result.ERR, status)
     status = jnp.where(nstate == S_DONE, Result.OK, status)
 
-    st = dict(st)
-    st["state"] = nstate
-    # `consume` is only nonzero on branches that fully succeeded, so the
-    # cursor never moves on a stall, error, or EFULL halt.
-    st["bitpos"] = st["bitpos"] + consume
-    st["final"] = final
-    st["hlit"], st["hdist"], st["hclen"] = hlit, hdist, hclen
-    st["idx"], st["prev"], st["len_val"] = idx, prev, len_val
-    st["resume_state"] = resume_state
-    st["dst_pos"] = dst_pos
-    st["status"] = status
-    st["need_build"] = need_build
-    st["cl_lens"] = cl_lens
-    st["lens"] = lens_arr
-    return st, token
+    out = dict(st)
+    out["state"] = nstate
+    # `consume` is only nonzero on fully-successful branches: the cursor
+    # never moves on a stall, window miss, error, or EFULL halt.
+    out["bitpos"] = st["bitpos"] + consume
+    out["final"] = final
+    out["hlit"], out["hdist"], out["hclen"] = hlit, hdist, hclen
+    out["idx"], out["prev"] = idx, prev
+    out["dst_pos"] = dst_pos
+    out["status"] = status
+    out["need_build"] = need_build
+    out["cl_lo"], out["cl_hi"] = cl_lo, cl_hi
+    out["lens_pk"] = lens_pk
+    out["resume_state"] = resume_state
+    return out, token
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +734,7 @@ def _step(st, words, nbits, cap, dict_len, has_dict):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict"))
-def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 256,
+def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
                   dict_len: int = 0, has_dict: bool = False):
     """Run the lockstep decoder for up to T steps.
 
@@ -536,29 +742,37 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 256,
     Returns (tokens [T, N] uint32, final_state dict).
     """
     N = words.shape[0]
-    st = _init_state(N)
+    st = _init_scan_state(N)
+    ck = _init_chunk_state(N)
     st["state"] = jnp.where(zflag > 0, S_ZHDR, S_BHDR)
+
+    # input pre-split into exact f32 halves, tiled by aligned segment
+    # (consumed by the MXU one-hot window refill)
+    W = words.shape[1]
+    S = (W + SEG - 1) // SEG
+    wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
+    words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32).reshape(N, S, SEG)
+    words_hi3 = (wpad >> U32(16)).astype(jnp.float32).reshape(N, S, SEG)
 
     n_chunks = (T + K - 1) // K
     tokbuf = jnp.zeros((n_chunks * K, N), U32)
 
     def chunk_active(carry):
-        ci, st, tokbuf = carry
+        ci, st, ck, tokbuf = carry
         return (ci < n_chunks) & jnp.any(st["status"] == STATUS_RUNNING)
 
     def chunk_body(carry):
-        ci, st, tokbuf = carry
-        st = _apply_builds(st)
+        ci, st, ck, tokbuf = carry
+        ck = _refill_windows(ck, st, words_lo3, words_hi3)
+        ck, st = _apply_builds(ck, st)
 
         def sbody(st, _):
-            return _step(st, words, nbits, cap, dict_len, has_dict)
+            return _step(st, ck, nbits, cap, dict_len, has_dict)
 
-        st, toks = jax.lax.scan(sbody, st, None, length=K)
+        st, toks = jax.lax.scan(sbody, st, None, length=K, unroll=4)
         tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * K, 0))
-        return ci + 1, st, tokbuf
+        return ci + 1, st, ck, tokbuf
 
-    _, st, tokbuf = jax.lax.while_loop(
-        chunk_active, chunk_body, (jnp.asarray(0, I32), st, tokbuf))
-    # one final build application so WAIT lanes don't leak out mid-build
-    st = _apply_builds(st)
+    _, st, ck, tokbuf = jax.lax.while_loop(
+        chunk_active, chunk_body, (jnp.asarray(0, I32), st, ck, tokbuf))
     return tokbuf[:T], st

@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from defl_tpu.ops.bitio import I32, U32
-from defl_tpu.ops.inflate_batch import TOK_LIT, TOK_MATCH, TOK_STORED
+from defl_tpu.ops.inflate_batch import (
+    TOK_LIT,
+    TOK_LIT_PAIR_BIT,
+    TOK_MATCH,
+    TOK_STORED,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "dict_len"))
@@ -45,8 +50,9 @@ def resolve_tokens(tokens, words, dst_len, *, C: int, dict_len: int = 0,
     CW = D + C
 
     kind = (toks >> U32(30)).astype(I32)
+    lit_pair = (toks & U32(TOK_LIT_PAIR_BIT)) != 0
     tlen = jnp.where(
-        kind == TOK_LIT, 1,
+        kind == TOK_LIT, 1 + lit_pair.astype(I32),
         jnp.where(kind == TOK_MATCH,
                   ((toks >> U32(21)) & U32(0x1FF)).astype(I32) + 3,
                   jnp.where(kind == TOK_STORED,
@@ -70,9 +76,10 @@ def resolve_tokens(tokens, words, dst_len, *, C: int, dict_len: int = 0,
     i = jnp.arange(CW, dtype=I32)[None, :]
     in_out = (i >= D) & (i < D + dst_len[:, None]) & (cover >= 0)
 
-    # literals
-    val = jnp.where(in_out & (kind_at == TOK_LIT),
-                    (tok_at & U32(0xFF)).astype(I32), 0)
+    # literals (pair tokens carry their second byte in bits [15:8])
+    lit_byte = jnp.where((i - pos_at) == 0, tok_at & U32(0xFF),
+                         (tok_at >> U32(8)) & U32(0xFF)).astype(I32)
+    val = jnp.where(in_out & (kind_at == TOK_LIT), lit_byte, 0)
 
     # stored runs: gather source bytes straight from the packed input
     sb = ((tok_at & U32(0x3FFFFF)).astype(I32) + (i - pos_at))

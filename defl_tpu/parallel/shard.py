@@ -85,14 +85,15 @@ class DistributedCodec:
 
         Returns (results, outputs, stats).
         """
-        from defl_tpu.runtime.session import _STEP_SLACK, _bucket
+        from defl_tpu.ops.inflate_batch import step_budget
+        from defl_tpu.runtime.session import _bucket
 
         n_in = len(streams)
         caps = ([int(dst_capacities)] * n_in if np.isscalar(dst_capacities)
                 else [int(c) for c in dst_capacities])
         packed = pack_streams(streams, flags & FLAG_ZLIB, caps)
         C = _bucket(max(caps))
-        T = C + C // 2 + _STEP_SLACK
+        T = step_budget(C)
 
         # pad N to a multiple of the shard count
         shards = self.n_shards

@@ -28,7 +28,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
              "-o", _LIB_PATH, _SRC_PATH],
             check=True, capture_output=True, timeout=120)
         return True
@@ -64,6 +64,13 @@ def get_lib():
         lib.dt_adler32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
         lib.dt_crc32.restype = ctypes.c_uint32
         lib.dt_crc32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.dt_resolve_tokens.restype = ctypes.c_int
+        lib.dt_resolve_tokens.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+            i32p, u8p, ctypes.c_uint32, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -105,6 +112,38 @@ def native_deflate(data: bytes, level: int = 6,
     if r != 0:
         raise RuntimeError(f"native deflate failed: {Result(r).name}")
     return ctypes.string_at(dst, outlen.value)
+
+
+def native_resolve_tokens(tokens, input_words, dst_len, C: int,
+                          dictionary: bytes | None = None,
+                          n_threads: int | None = None):
+    """Multithreaded pass-2 token resolution (hybrid TPU+host inflate).
+
+    tokens: uint32 [N, T] C-contiguous (lane-major);
+    input_words: the packed uint32 [N, W] input (stored-run source bytes);
+    dst_len: int32 [N].  Returns uint8 [N, C].
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    tokens = np.ascontiguousarray(tokens, dtype=np.uint32)
+    inputs = np.ascontiguousarray(input_words, dtype=np.uint32)
+    dst_len = np.ascontiguousarray(dst_len, dtype=np.int32)
+    N, T = tokens.shape
+    out = np.zeros((N, C), dtype=np.uint8)
+    d = bytes(dictionary) if dictionary else b""
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    lib.dt_resolve_tokens(
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), N, T,
+        inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        inputs.strides[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
+        dst_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8(d), len(d), n_threads)
+    return out
 
 
 def native_adler32(data: bytes, start: int = 1) -> int:

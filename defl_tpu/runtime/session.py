@@ -30,8 +30,15 @@ def _bucket(x: int) -> int:
 
 
 def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
-                   dst_capacities=None, chunk_steps: int = 256):
-    """Batched device decode.  Returns (results, outputs, stats dict)."""
+                   dst_capacities=None, chunk_steps: int = 256,
+                   resolve: str = "device"):
+    """Batched device decode.  Returns (results, outputs, stats dict).
+
+    resolve: "device" runs the XLA pointer-doubling resolver (output stays
+    on device); "host" ships the token stream to the multithreaded C++
+    resolver (native/defl_host.cc) — the fast path when the decompressed
+    bytes are destined for host memory anyway.
+    """
     import jax.numpy as jnp
 
     from defl_tpu.ops.inflate_batch import STATUS_RUNNING, decode_tokens
@@ -54,7 +61,8 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     zf = flags & FLAG_ZLIB
     packed = pack_streams(streams, zf, caps)
     C = _bucket(max(caps))
-    T = C + C // 2 + _STEP_SLACK
+    from defl_tpu.ops.inflate_batch import step_budget
+    T = step_budget(C)
 
     # Pad N and W up to buckets so repeated calls reuse compiled shapes.
     n_pad = 4
@@ -82,14 +90,27 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
         jnp.asarray(packed.zflag), jnp.asarray(packed.dst_cap),
         T=T, K=chunk_steps, dict_len=dict_len,
         has_dict=dictionary is not None)
-    out = resolve_tokens(tokens, jnp.asarray(packed.words),
-                         st["dst_pos"], C=C, dict_len=dict_len,
-                         dict_words=dict_words)
+
+    if resolve == "host":
+        from defl_tpu.runtime.native import available, native_resolve_tokens
+
+        if not available():
+            resolve = "device"
+
+    if resolve == "host":
+        toks_nt = np.asarray(jnp.transpose(tokens))  # [N, T] lane-major
+        dst_pos = np.asarray(st["dst_pos"])
+        out_np = native_resolve_tokens(
+            toks_nt, packed.words, dst_pos, C, dictionary)
+    else:
+        out = resolve_tokens(tokens, jnp.asarray(packed.words),
+                             st["dst_pos"], C=C, dict_len=dict_len,
+                             dict_words=dict_words)
+        out_np = np.asarray(out)
+        dst_pos = np.asarray(st["dst_pos"])
 
     status = np.asarray(st["status"])
-    dst_pos = np.asarray(st["dst_pos"])
     bitpos = np.asarray(st["bitpos"])
-    out_np = np.asarray(out)
 
     results: list[Result] = []
     outputs: list[bytes] = []

@@ -8,7 +8,7 @@ lives in ``bench.py``, not in tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin (sitecustomize) force-selects jax_platforms="axon,cpu"
+# via jax.config at interpreter start, overriding the env var — undo that so
+# tests run on the virtual 8-device CPU mesh as intended.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

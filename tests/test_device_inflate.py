@@ -177,3 +177,30 @@ def test_input_pos_accounting_device():
     consumed = (int(stats["bitpos"][0]) + 7) // 8
     # everything but the 4-byte adler trailer, modulo final-byte slack
     assert len(s) - 5 <= consumed <= len(s) - 4
+
+
+def test_host_resolve_parity():
+    """Hybrid pipeline (TPU pass-1 + C++ pass-2) must match the device
+    resolver bit for bit, including dictionary back-references."""
+    from defl_tpu.runtime.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    names = sorted(SMALL)[:10]
+    payloads = [CORPUS[n] for n in names]
+    streams = [zlib.compress(p, 6) for p in payloads]
+    r1, o1, _ = device_inflate(streams, dst_capacities=CAP, resolve="host")
+    r2, o2, _ = device_inflate(streams, dst_capacities=CAP, resolve="device")
+    assert r1 == r2
+    assert o1 == o2
+    assert all(o == p for o, p in zip(o1, payloads))
+
+    d = b"common prefix material " * 16
+    zs = []
+    for p in payloads[:4]:
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, zdict=d)
+        zs.append(co.compress(p) + co.flush())
+    r3, o3, _ = device_inflate(zs, dst_capacities=CAP, dictionary=d,
+                               resolve="host")
+    assert all(r is Result.OK for r in r3)
+    assert o3 == payloads[:4]
