@@ -735,16 +735,30 @@ def _step(st, ck, nbits, cap, dict_len, has_dict):
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict"))
 def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
-                  dict_len: int = 0, has_dict: bool = False):
+                  dict_len: int = 0, has_dict: bool = False, carry=None):
     """Run the lockstep decoder for up to T steps.
 
     words: uint32 [N, W] packed streams;  nbits/zflag/cap: int32 [N].
-    Returns (tokens [T, N] uint32, final_state dict).
+    Returns (tokens [T, N] uint32, carry dict).
+
+    The returned carry is the complete resumable decoder state — the
+    device analog of the reference's `unz__stream_t` (src/common.h:150).
+    Pass it back (with more input packed into `words`/`nbits`, and
+    UNFINISHED/EFULL lanes revived via `revive_carry`) to continue a
+    streaming decode exactly where it stopped; token buffers from
+    successive calls concatenate along axis 0 for resolution.
     """
     N = words.shape[0]
-    st = _init_scan_state(N)
-    ck = _init_chunk_state(N)
-    st["state"] = jnp.where(zflag > 0, S_ZHDR, S_BHDR)
+    if carry is None:
+        st = _init_scan_state(N)
+        ck = _init_chunk_state(N)
+        st["state"] = jnp.where(zflag > 0, S_ZHDR, S_BHDR)
+    else:
+        st = {k: carry[k] for k in _init_scan_state(1)}
+        ck = {k: carry[k] for k in _init_chunk_state(1)}
+        # windows may be stale relative to regrown input
+        ck = dict(ck)
+        ck["win_word"] = jnp.full((N,), -(10 * WIN), I32)
 
     # input pre-split into exact f32 halves, tiled by aligned segment
     # (consumed by the MXU one-hot window refill)
@@ -775,4 +789,21 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     _, st, ck, tokbuf = jax.lax.while_loop(
         chunk_active, chunk_body, (jnp.asarray(0, I32), st, ck, tokbuf))
-    return tokbuf[:T], st
+    return tokbuf[:T], {**st, **ck}
+
+
+def revive_carry(carry, new_cap=None):
+    """Prepare a decoder carry for resumption: UNFINISHED lanes (and, when
+    `new_cap` raises their budget, EFULL lanes via their saved
+    resume_state — ≙ infl_resize_output-then-continue, mem.c:277-288)
+    go back to RUNNING."""
+    carry = dict(carry)
+    st_status = carry["status"]
+    carry["status"] = jnp.where(st_status == Result.UNFINISHED,
+                                STATUS_RUNNING, st_status)
+    if new_cap is not None:
+        efull = st_status == Result.EFULL
+        carry["status"] = jnp.where(efull, STATUS_RUNNING, carry["status"])
+        carry["state"] = jnp.where(efull, carry["resume_state"],
+                                   carry["state"])
+    return carry
