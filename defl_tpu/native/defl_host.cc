@@ -123,7 +123,7 @@ bool build_table(Table& t, const uint8_t* lens, int n) {
   // For each root index that some long code maps to, build a subtable of
   // (maxlen_for_prefix - kRoot) index bits.
   // Pass 1: per-prefix max extra bits.
-  static uint8_t pre_bits[1 << Table::kRoot];
+  uint8_t pre_bits[1 << Table::kRoot];
   memset(pre_bits, 0, sizeof(pre_bits));
   for (int l = Table::kRoot + 1; l <= 15; l++) {
     for (int r = 0; r < count[l]; r++) {
@@ -414,7 +414,7 @@ void huff_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
   if (nu == 0) return;
   if (nu == 1) { lens[used[0]] = 1; return; }
 
-  static HNode nodes[640];
+  HNode nodes[640];
   int nn = 0;
   for (int i = 0; i < nu; i++) nodes[nn++] = {freq[used[i]], -1, -1, used[i]};
   // simple heap
@@ -447,7 +447,7 @@ void huff_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
     push(nn++);
   }
   // depths
-  static int depth[640];
+  int depth[640];
   depth[nn - 1] = 0;
   int bl_count[64] = {0};
   for (int i = nn - 1; i >= 0; i--) {
@@ -476,7 +476,7 @@ void huff_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
   }
   // assign: leaves sorted by (depth, sym) get lengths from histogram
   // order leaves by original depth then symbol
-  static int leaf[320]; int nl = 0;
+  int leaf[320]; int nl = 0;
   for (int i = 0; i < nn; i++)
     if (nodes[i].sym >= 0) leaf[nl++] = i;
   // insertion sort by (depth, sym) — n <= 288
@@ -898,6 +898,52 @@ void resolve_all(const ResolveArgs& a, int64_t N, int n_threads) {
 }  // namespace
 
 extern "C" {
+
+int dt_deflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
+                     uint8_t* const* dsts, const uint64_t* dstcaps,
+                     uint64_t* dstlens, int32_t* results,
+                     int64_t n, int level, int flags, int n_threads) {
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      results[i] = deflate_impl(srcs[i], srclens[i], dsts[i], dstcaps[i],
+                                &dstlens[i], level, flags);
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+int dt_inflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
+                     uint8_t* const* dsts, const uint64_t* dstcaps,
+                     uint64_t* dstlens, int32_t* results,
+                     int64_t n, int flags, int n_threads) {
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      results[i] = inflate_impl(srcs[i], srclens[i], dsts[i], dstcaps[i],
+                                &dstlens[i], flags);
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
 
 int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
                       const uint8_t* input, uint64_t in_stride,

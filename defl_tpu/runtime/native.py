@@ -66,11 +66,21 @@ def get_lib():
         lib.dt_crc32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i32p = ctypes.POINTER(ctypes.c_int32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        pptr = ctypes.POINTER(ctypes.c_void_p)
         lib.dt_resolve_tokens.restype = ctypes.c_int
         lib.dt_resolve_tokens.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int64,
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
             i32p, u8p, ctypes.c_uint32, ctypes.c_int]
+        for name in ("dt_deflate_batch", "dt_inflate_batch"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [pptr, u64p, pptr, u64p, u64p, i32p,
+                           ctypes.c_int64] + (
+                [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                if name == "dt_deflate_batch"
+                else [ctypes.c_int, ctypes.c_int])
         _lib = lib
         return _lib
 
@@ -144,6 +154,49 @@ def native_resolve_tokens(tokens, input_words, dst_len, C: int,
         dst_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _u8(d), len(d), n_threads)
     return out
+
+
+def _batch_call(fn_name, payloads, caps, *extra, n_threads=None):
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(payloads)
+    srcs = [np.frombuffer(bytes(p), np.uint8) if p else
+            np.zeros(1, np.uint8) for p in payloads]
+    dsts = [np.zeros(max(c, 1), np.uint8) for c in caps]
+    src_ptrs = (ctypes.c_void_p * n)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs])
+    dst_ptrs = (ctypes.c_void_p * n)(
+        *[d.ctypes.data_as(ctypes.c_void_p).value for d in dsts])
+    srclens = (ctypes.c_uint64 * n)(*[len(p) for p in payloads])
+    dstcaps = (ctypes.c_uint64 * n)(*[len(d) for d in dsts])
+    dstlens = (ctypes.c_uint64 * n)()
+    results = (ctypes.c_int32 * n)()
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    getattr(lib, fn_name)(src_ptrs, srclens, dst_ptrs, dstcaps, dstlens,
+                          results, n, *extra, n_threads)
+    outs = [dsts[i][: dstlens[i]].tobytes() for i in range(n)]
+    return [Result(int(r)) for r in results], outs
+
+
+def native_deflate_batch(payloads, level: int = 6, flags: int = 1,
+                         n_threads=None):
+    """Multithreaded batch compress (one C++ worker per stream group)."""
+    caps = [len(p) + len(p) // 2 + 1024 for p in payloads]
+    return _batch_call("dt_deflate_batch", payloads, caps, level, flags,
+                       n_threads=n_threads)
+
+
+def native_inflate_batch(payloads, dst_capacities, flags: int = 1,
+                         n_threads=None):
+    """Multithreaded batch host inflate."""
+    caps = ([int(dst_capacities)] * len(payloads)
+            if isinstance(dst_capacities, int) else list(dst_capacities))
+    return _batch_call("dt_inflate_batch", payloads, caps, flags,
+                       n_threads=n_threads)
 
 
 def native_adler32(data: bytes, start: int = 1) -> int:

@@ -160,7 +160,16 @@ def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,
 
 
 def batch_deflate(payloads, level=6, flags=FLAG_ZLIB):
-    """Compress many payloads (host engine; device encoder lands in ops)."""
+    """Compress many payloads: multithreaded C++ engine when available,
+    pure-Python reference encoder otherwise."""
+    from defl_tpu.runtime import native
+
+    if native.available():
+        results, outs = native.native_deflate_batch(
+            [bytes(p) for p in payloads], level=level, flags=flags)
+        if all(r is Result.OK for r in results):
+            return outs
+
     from defl_tpu.core.deflate_ref import deflate_oracle
 
     return [deflate_oracle(bytes(p), level=level, flags=flags)
