@@ -83,9 +83,9 @@ def make_silesia_like(total_bytes: int, block: int = 65536, seed: int = 42):
 
 
 def main():
-    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "256"))
+    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "4096"))
     block = int(os.environ.get("DEFL_BENCH_BLOCK", "65536"))
-    reps = int(os.environ.get("DEFL_BENCH_REPS", "3"))
+    reps = int(os.environ.get("DEFL_BENCH_REPS", "2"))
 
     import jax
     import jax.numpy as jnp

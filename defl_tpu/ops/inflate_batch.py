@@ -106,15 +106,16 @@ _fx_lit = huffman.build_decode(C.FIXED_LITLEN_LENGTHS)
 _fx_dist = huffman.build_decode(C.FIXED_DIST_LENGTHS)
 
 
-def _fixed_syms_padded():
-    lit = np.zeros(288, np.int32)
-    lit[: _fx_lit.sorted_syms.size] = _fx_lit.sorted_syms
-    dst = np.zeros(32, np.int32)
-    dst[: _fx_dist.sorted_syms.size] = _fx_dist.sorted_syms
-    return lit, dst
+def _pack_syms_np(syms, width):
+    """NumPy twin of tables.pack_syms for module-level constants."""
+    s = np.zeros(width, np.uint32)
+    s[: syms.size] = syms
+    s3 = s.reshape(width // 3, 3)
+    return s3[:, 0] | (s3[:, 1] << 10) | (s3[:, 2] << 20)
 
 
-_FX_LIT_SYMS, _FX_DIST_SYMS = _fixed_syms_padded()
+_FX_LIT_SYMS = _pack_syms_np(_fx_lit.sorted_syms, 288)
+_FX_DIST_SYMS = _pack_syms_np(_fx_dist.sorted_syms, 36)
 _FX_LIT_COUNT = _fx_lit.count
 _FX_LIT_FIRST = _fx_lit.first_code
 _FX_LIT_OFFS = _fx_lit.offset + tables.LIT_BASE
@@ -151,7 +152,7 @@ def _init_chunk_state(N):
         count=jnp.stack([z16, z16, z16], axis=1),   # [N,3,16] CL/LIT/DIST
         first=jnp.stack([z16, z16, z16], axis=1),
         offs=jnp.stack([z16, z16, z16], axis=1),
-        syms=jnp.zeros((N, tables.SYMS_BANK), I32),
+        syms=jnp.zeros((N, tables.SYMS_WORDS), U32),  # 3 x 10-bit per word
     )
 
 
@@ -252,7 +253,11 @@ def _canonical_decode(ck, peek, is_cl, is_dist):
         symidx = jnp.where(hit, offs + off, symidx)
         clen = jnp.where(hit, l, clen)
         found = found | hit
-    sym = _onehot_lookup(ck["syms"], symidx)
+    # packed bank: word = syms[symidx // 3], symbol in 10-bit slot
+    q = symidx // 3
+    rem = symidx - 3 * q
+    word = _onehot_lookup(ck["syms"].astype(I32), q).astype(U32)
+    sym = ((word >> (U32(10) * rem.astype(U32))) & U32(0x3FF)).astype(I32)
     return sym, clen, found
 
 
@@ -336,7 +341,9 @@ def _apply_builds(ck, st):
     """Convert lanes waiting on a Huffman build; vectorised and masked."""
     nb = st["need_build"]
 
-    def set_table(ck, tbl, mask, count, first, offs, syms_region, syms_base):
+    def set_table(ck, tbl, mask, count, first, offs, syms_packed, syms_base):
+        """syms_packed: [N, W/3] u32 (3 symbols per word) or a [W/3]
+        constant row; syms_base is the symbol-index base (multiple of 3)."""
         m = mask[:, None]
         ck["count"] = ck["count"].at[:, tbl, :].set(
             jnp.where(m, count, ck["count"][:, tbl, :]))
@@ -344,9 +351,10 @@ def _apply_builds(ck, st):
             jnp.where(m, first, ck["first"][:, tbl, :]))
         ck["offs"] = ck["offs"].at[:, tbl, :].set(
             jnp.where(m, offs, ck["offs"][:, tbl, :]))
-        w = syms_region.shape[1]
-        ck["syms"] = ck["syms"].at[:, syms_base : syms_base + w].set(
-            jnp.where(m, syms_region, ck["syms"][:, syms_base : syms_base + w]))
+        wb = syms_base // 3
+        w = syms_packed.shape[-1]
+        ck["syms"] = ck["syms"].at[:, wb : wb + w].set(
+            jnp.where(m, syms_packed, ck["syms"][:, wb : wb + w]))
         return ck
 
     def build_cl(args):
@@ -355,7 +363,7 @@ def _apply_builds(ck, st):
         cl_lens = _unpack_cl(st["cl_lo"], st["cl_hi"])
         cnt, first, offs, syms, oversub = tables.build_canonical(cl_lens)
         ck = set_table(dict(ck), 0, mask, cnt, first, offs + tables.CL_BASE,
-                       syms, tables.CL_BASE)
+                       tables.pack_syms(syms, 24), tables.CL_BASE)
         bad = mask & oversub
         ok = mask & ~oversub
         st = dict(st)
@@ -375,7 +383,7 @@ def _apply_builds(ck, st):
         lit_lens = jnp.where(pos288 < st["hlit"][:, None], lens[:, :288], 0)
         cnt, first, offs, syms, over_l = tables.build_canonical(lit_lens)
         ck = set_table(dict(ck), 1, mask, cnt, first, offs + tables.LIT_BASE,
-                       syms, tables.LIT_BASE)
+                       tables.pack_syms(syms, 288), tables.LIT_BASE)
 
         # distance lengths start at per-lane hlit: extract nibble hlit+k
         # straight from the packed words via a 40-word one-hot (the naive
@@ -391,7 +399,7 @@ def _apply_builds(ck, st):
         dist_lens = jnp.where(k32 < st["hdist"][:, None], dist_lens, 0)
         cntd, firstd, offsd, symsd, over_d = tables.build_canonical(dist_lens)
         ck = set_table(ck, 2, mask, cntd, firstd, offsd + tables.DIST_BASE_,
-                       symsd, tables.DIST_BASE_)
+                       tables.pack_syms(symsd, 36), tables.DIST_BASE_)
 
         no_eob = lens[:, 256] == 0  # a block needs a real EOB code
         bad = mask & (over_l | over_d | no_eob)

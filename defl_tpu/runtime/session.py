@@ -16,10 +16,6 @@ from defl_tpu.core.oracle import inflate_oracle
 from defl_tpu.errors import FLAG_ZLIB, Result
 from defl_tpu.runtime.pack import MAX_STREAM_BYTES, pack_dictionary, pack_streams
 
-#: decode-step budget per output byte; headers+slack come on top.
-_STEP_SLACK = 4096
-
-
 def _bucket(x: int) -> int:
     """Round shape knobs up to power-of-two-ish buckets to bound jit
     recompiles across calls."""
@@ -140,8 +136,13 @@ def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,
     use_device = backend == "device" or (
         backend == "auto" and n >= 8 and sizes_ok)
     if use_device:
+        # decompressed bytes land host-side here, so the multithreaded C++
+        # resolver is the natural pass-2 (bit-exact with the device one)
+        from defl_tpu.runtime import native
+
         results, outputs, _ = device_inflate(
-            streams, flags, dictionary, dst_capacities)
+            streams, flags, dictionary, dst_capacities,
+            resolve="host" if native.available() else "device")
         return results, outputs
 
     results = []
