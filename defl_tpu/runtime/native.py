@@ -17,7 +17,9 @@ from defl_tpu.errors import Result
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libdefl_host.so")
+# DEFL_NATIVE_LIB overrides the library (e.g. the ASan build in CI)
+_LIB_PATH = os.environ.get(
+    "DEFL_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libdefl_host.so"))
 _SRC_PATH = os.path.join(_NATIVE_DIR, "defl_host.cc")
 
 _lock = threading.Lock()

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from defl_tpu.core.oracle import inflate_oracle
-from defl_tpu.errors import FLAG_ZLIB, Result
+from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
 from defl_tpu.runtime.pack import MAX_STREAM_BYTES, pack_dictionary, pack_streams
 
 def _bucket(x: int) -> int:
@@ -108,6 +108,9 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     status = np.asarray(st["status"])
     bitpos = np.asarray(st["bitpos"])
 
+    verify = bool(flags & FLAG_VERIFY_ADLER32) and bool(zf)
+    in_bytes = packed.words.view(np.uint8)
+
     results: list[Result] = []
     outputs: list[bytes] = []
     for i in range(n_in):
@@ -120,8 +123,22 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
             results.append(r)
             outputs.append(o)
             continue
-        results.append(Result(sti))
-        outputs.append(out_np[i, : int(dst_pos[i])].tobytes())
+        r = Result(sti)
+        o = out_np[i, : int(dst_pos[i])].tobytes()
+        if verify and r is Result.OK:
+            # zlib trailer: 4 big-endian bytes after the byte-aligned end
+            # of the final block (the reference never checks it; this is
+            # the FLAG_VERIFY_ADLER32 extension)
+            import zlib as _z
+
+            tp = (int(bitpos[i]) + 7) // 8
+            stored = int.from_bytes(in_bytes[i, tp : tp + 4], "big")
+            if tp + 4 > packed.nbits[i] // 8:
+                r = Result.UNFINISHED
+            elif stored != _z.adler32(o):
+                r = Result.ERR
+        results.append(r)
+        outputs.append(o)
     stats = {"bitpos": bitpos, "dst_pos": dst_pos, "T": T, "C": C}
     return results, outputs, stats
 

@@ -204,3 +204,38 @@ def test_host_resolve_parity():
                                resolve="host")
     assert all(r is Result.OK for r in r3)
     assert o3 == payloads[:4]
+
+
+def test_adler32_batch_device():
+    """Batched device adler32 (new capability; reference has none)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from defl_tpu.ops.checksums import adler32_batch
+
+    rng = np.random.default_rng(1)
+    lens = np.array([0, 1, 100, 3072, 3073, 8191], np.int32)
+    data = np.zeros((6, 8192), np.uint8)
+    for i, L in enumerate(lens):
+        data[i, :L] = rng.integers(0, 256, L, dtype=np.uint8)
+    got = np.asarray(adler32_batch(jnp.asarray(data), jnp.asarray(lens)))
+    for i in range(6):
+        assert int(got[i]) == zlib.adler32(data[i, : lens[i]].tobytes()), i
+
+
+def test_verify_adler32_device():
+    """FLAG_VERIFY_ADLER32 on the device path (extension; the reference
+    never checks the trailer)."""
+    from defl_tpu.errors import FLAG_VERIFY_ADLER32
+
+    p = CORPUS["text"][:600]
+    good = zlib.compress(p, 6)
+    corrupt = bytearray(good)
+    corrupt[-1] ^= 0xFF
+    res, outs, _ = dev([good, bytes(corrupt)],
+                       flags=FLAG_ZLIB | FLAG_VERIFY_ADLER32)
+    assert res[0] is Result.OK and outs[0] == p
+    assert res[1] is Result.ERR
+    # default mode still ignores the trailer (reference parity)
+    res2, outs2, _ = dev([bytes(corrupt)])
+    assert res2[0] is Result.OK and outs2[0] == p
