@@ -188,28 +188,45 @@ def _ord_arith(idx):
     return jnp.where(idx < 3, 16 + idx, jnp.where(idx == 3, 0, paired))
 
 
-def _extract_words(win, loc):
-    """Per-lane extraction of 3 consecutive u32 words win[n, loc[n]+k]
-    (k=0,1,2) via two-stage compare/select reductions — no gathers.
+#: words in the per-iteration mini-window; covers UNROLL steps of worst
+#: case consumption (3 x 48 bits) plus the 79-bit final-step window.
+SMALL = 10
+UNROLL = 4
 
-    win: [N, WIN] u32;  loc: [N] int32 in [0, WIN-3].
-    Returns (w0, w1, w2) each [N] u32.
+
+def _extract_small(win, loc):
+    """Per-lane extraction of SMALL consecutive words win[n, loc[n]+k]
+    via two-stage compare/select reductions — runs ONCE per UNROLL steps
+    (the mini-window amortisation is the decoder's main extraction save).
+
+    win: [N, WIN] u32;  loc: [N] int32 in [0, WIN-SMALL].
+    Returns [N, SMALL] u32.
     """
     N = win.shape[0]
-    G = WIN // 16  # groups of 16
+    G = WIN // 16
     win3 = win.reshape(N, G, 16)
     hi = loc >> 4
     gi = jnp.arange(G, dtype=I32)[None, :, None]
-    # two adjacent groups cover loc..loc+2 across a boundary
+    # two adjacent 16-word groups cover loc..loc+SMALL-1
     sel0 = jnp.sum(jnp.where(gi == hi[:, None, None], win3, U32(0)), axis=1)
     sel1 = jnp.sum(jnp.where(gi == (hi + 1)[:, None, None], win3, U32(0)),
                    axis=1)
     sub = jnp.concatenate([sel0, sel1], axis=1)  # [N, 32]
     lo = loc & 15
     ii = jnp.arange(32, dtype=I32)[None, :]
-    w0 = jnp.sum(jnp.where(ii == lo[:, None], sub, U32(0)), axis=1)
-    w1 = jnp.sum(jnp.where(ii == (lo + 1)[:, None], sub, U32(0)), axis=1)
-    w2 = jnp.sum(jnp.where(ii == (lo + 2)[:, None], sub, U32(0)), axis=1)
+    cols = [jnp.sum(jnp.where(ii == (lo + k)[:, None], sub, U32(0)), axis=1)
+            for k in range(SMALL)]
+    return jnp.stack(cols, axis=1)
+
+
+def _pick3(small, off):
+    """3 consecutive words from the [N, SMALL] mini-window at per-lane
+    offset off (clipped; callers check the miss mask)."""
+    ii = jnp.arange(SMALL, dtype=I32)[None, :]
+    o = jnp.clip(off, 0, SMALL - 3)
+    w0 = jnp.sum(jnp.where(ii == o[:, None], small, U32(0)), axis=1)
+    w1 = jnp.sum(jnp.where(ii == (o + 1)[:, None], small, U32(0)), axis=1)
+    w2 = jnp.sum(jnp.where(ii == (o + 2)[:, None], small, U32(0)), axis=1)
     return w0, w1, w2
 
 
@@ -451,15 +468,18 @@ def _apply_builds(ck, st):
 # one lockstep step
 # ---------------------------------------------------------------------------
 
-def _step(st, ck, nbits, cap, dict_len, has_dict):
+def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     s = st["state"]
     N = s.shape[0]
 
     # ---- input window extraction (pure VPU) ----
-    loc = (st["bitpos"] >> 5) - ck["win_word"]
-    win_miss = (loc < 0) | (loc > WIN - 4)
-    loc_c = jnp.clip(loc, 0, WIN - 4)
-    w0, w1, w2 = _extract_words(ck["win"], loc_c)
+    # the mini-window `small` [N, SMALL] was extracted once for this
+    # UNROLL group; a lane that consumed past it (only possible via
+    # worst-case 48-bit steps or stored-block jumps) stalls until the
+    # next group/refill.
+    off = (st["bitpos"] >> 5) - small_base
+    win_miss = (off < 0) | (off > SMALL - 3)
+    w0, w1, w2 = _pick3(small, off)
     b = st["bitpos"] & 31
     peek = _window32(w0, w1, b)
     peek_i = peek.astype(I32)
@@ -789,9 +809,20 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
         ck, st = _apply_builds(ck, st)
 
         def sbody(st, _):
-            return _step(st, ck, nbits, cap, dict_len, has_dict)
+            # mini-window prologue, amortised over UNROLL lockstep steps
+            loc0 = jnp.clip((st["bitpos"] >> 5) - ck["win_word"],
+                            0, WIN - SMALL)
+            small = _extract_small(ck["win"], loc0)
+            small_base = ck["win_word"] + loc0
+            toks = []
+            for _u in range(UNROLL):
+                st, tok = _step(st, ck, small, small_base, nbits, cap,
+                                dict_len, has_dict)
+                toks.append(tok)
+            return st, jnp.stack(toks)  # [UNROLL, N]
 
-        st, toks = jax.lax.scan(sbody, st, None, length=K, unroll=4)
+        st, toks = jax.lax.scan(sbody, st, None, length=K // UNROLL)
+        toks = toks.reshape(K, toks.shape[-1])
         tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * K, 0))
         return ci + 1, st, ck, tokbuf
 
