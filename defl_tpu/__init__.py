@@ -25,6 +25,7 @@ from defl_tpu.api import (
     inflate_batch,
     deflate_batch,
     InflateStream,
+    DeflateStream,
 )
 
 __version__ = "0.1.0"
@@ -39,5 +40,6 @@ __all__ = [
     "inflate_batch",
     "deflate_batch",
     "InflateStream",
+    "DeflateStream",
     "__version__",
 ]

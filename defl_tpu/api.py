@@ -139,6 +139,16 @@ def inflate_buffer(data, dst_capacity: int | None = None,
     return out
 
 
+def DeflateStream(level: int = 6, flags: int = FLAG_ZLIB,
+                  dictionary: bytes | None = None):
+    """Streaming compressor factory (see core.deflate_ref.DeflateStream) —
+    encode-side counterpart of InflateStream; the reference has no encode
+    at all (include/defl/defl.h:17-25)."""
+    from defl_tpu.core.deflate_ref import DeflateStream as _DS
+
+    return _DS(level=level, flags=flags, dictionary=dictionary)
+
+
 def deflate_buffer(data, level: int = 6, flags: int = FLAG_ZLIB,
                    dictionary: bytes | None = None) -> bytes:
     """One-shot compress — the half the reference declares but never

@@ -362,47 +362,116 @@ def _emit_block(w: _BitPacker, tokens, final: bool, raw_bytes: bytes):
 _BLOCK_TOKENS = 16384
 
 
+def _emit_zlib_header(w: _BitPacker, dict_: bytes):
+    cmf = 0x78  # CM=8, CINFO=7 (32K window)
+    flg = 0x80 if dict_ else 0x00  # FLEVEL bits; FDICT if dictionary
+    if dict_:
+        flg |= 0x20
+    rem = ((cmf << 8) | flg) % 31
+    if rem:
+        flg += 31 - rem
+    w.buf.append(cmf)
+    w.buf.append(flg)
+    if dict_:
+        w.buf += adler32(dict_).to_bytes(4, "big")
+
+
+def _encode_segment(w: _BitPacker, data: bytes, dict_: bytes, level: int,
+                    final: bool):
+    """Encode `data` as a run of blocks into an existing (possibly
+    misaligned) bit packer; matches may reach into `dict_` (the preset
+    dictionary or, for streaming, the retained window tail)."""
+    tokens = lz77_tokens(dict_ + data, level, len(dict_))
+    if not tokens:
+        if final:
+            w.bits(1, 1)
+            w.bits(1, 2)
+            w.code(0, 7)  # fixed code for symbol 256
+        return
+    i = 0
+    pos = 0
+    while i < len(tokens):
+        blk = tokens[i : i + _BLOCK_TOKENS]
+        blk_bytes = sum(1 if t < 256 else (t >> 16) for t in blk)
+        _emit_block(w, blk, final=final and (i + _BLOCK_TOKENS >= len(tokens)),
+                    raw_bytes=data[pos : pos + blk_bytes])
+        pos += blk_bytes
+        i += _BLOCK_TOKENS
+
+
 def deflate_oracle(data: bytes, level: int = 6, flags: int = FLAG_ZLIB,
                    dictionary: bytes | None = None) -> bytes:
     """One-shot compress to raw DEFLATE or zlib format."""
     data = bytes(data)
     dict_ = bytes(dictionary) if dictionary else b""
     w = _BitPacker()
-
     if flags & FLAG_ZLIB:
-        cmf = 0x78  # CM=8, CINFO=7 (32K window)
-        flg = 0x80 if dict_ else 0x00  # FLEVEL bits; FDICT if dictionary
-        if dict_:
-            flg |= 0x20
-        rem = ((cmf << 8) | flg) % 31
-        if rem:
-            flg += 31 - rem
-        w.buf.append(cmf)
-        w.buf.append(flg)
-        if dict_:
-            w.buf += adler32(dict_).to_bytes(4, "big")
-
-    tokens = lz77_tokens(dict_ + data, level, len(dict_))
-
-    if not tokens:
-        # empty payload: single final fixed block with only EOB
-        w.bits(1, 1)
-        w.bits(1, 2)
-        w.code(0, 7)  # fixed code for symbol 256
-    else:
-        # Split into blocks; track raw byte ranges for stored fallback.
-        i = 0
-        pos = 0
-        while i < len(tokens):
-            blk = tokens[i : i + _BLOCK_TOKENS]
-            blk_bytes = sum(1 if t < 256 else (t >> 16) for t in blk)
-            _emit_block(w, blk, final=(i + _BLOCK_TOKENS >= len(tokens)),
-                        raw_bytes=data[pos : pos + blk_bytes])
-            pos += blk_bytes
-            i += _BLOCK_TOKENS
-
+        _emit_zlib_header(w, dict_)
+    _encode_segment(w, data, dict_, level, final=True)
     w.align()
     out = w.getvalue()
     if flags & FLAG_ZLIB:
         out += adler32(data).to_bytes(4, "big")
     return out
+
+
+class DeflateStream:
+    """Streaming compression — the encode-side counterpart of
+    `InflateStream` (the reference has neither: defl.h is an empty stub).
+
+    `compress(data)` buffers input and emits complete non-final blocks
+    once enough accumulates, keeping a 32KB window tail so matches span
+    feed boundaries; `flush()` emits the final block and (zlib mode) the
+    adler32 trailer.
+    """
+
+    _EMIT_THRESHOLD = 1 << 18  # encode in ~256KB segments
+
+    def __init__(self, level: int = 6, flags: int = FLAG_ZLIB,
+                 dictionary: bytes | None = None):
+        self.level = level
+        self.flags = flags
+        self._dict = bytes(dictionary) if dictionary else b""
+        self._w = _BitPacker()
+        self._pending = bytearray()
+        self._window = self._dict[-32768:]
+        self._adler = 1
+        self._emitted = 0
+        self._finished = False
+        if flags & FLAG_ZLIB:
+            _emit_zlib_header(self._w, self._dict)
+
+    def _drain(self) -> bytes:
+        # whole bytes currently in the packer
+        out = bytes(self._w.buf[self._emitted :])
+        self._emitted = len(self._w.buf)
+        return out
+
+    def compress(self, data) -> bytes:
+        if self._finished:
+            raise ValueError("stream already flushed")
+        data = bytes(data)
+        self._adler = adler32(data, self._adler)
+        self._pending += data
+        out = b""
+        while len(self._pending) >= self._EMIT_THRESHOLD:
+            seg = bytes(self._pending[: self._EMIT_THRESHOLD])
+            del self._pending[: self._EMIT_THRESHOLD]
+            _encode_segment(self._w, seg, self._window, self.level,
+                            final=False)
+            self._window = (self._window + seg)[-32768:]
+            out += self._drain()
+        return out
+
+    def flush(self) -> bytes:
+        if self._finished:
+            return b""
+        self._finished = True
+        _encode_segment(self._w, bytes(self._pending), self._window,
+                        self.level, final=True)
+        self._pending.clear()
+        self._w.align()
+        out = self._drain()
+        if self.flags & FLAG_ZLIB:
+            out += int(self._adler).to_bytes(4, "big")
+        return out

@@ -239,3 +239,44 @@ def test_verify_adler32_device():
     # default mode still ignores the trailer (reference parity)
     res2, outs2, _ = dev([bytes(corrupt)])
     assert res2[0] is Result.OK and outs2[0] == p
+
+
+def test_step_budget_exhaustion_falls_back_to_host():
+    """Adversarial many-empty-blocks streams exhaust the device step
+    budget; the session transparently retries them on the host engine."""
+    from tests.gendata import BitWriter, _fixed_lit_code
+
+    w = BitWriter()
+    for i in range(3000):  # thousands of empty non-final static blocks
+        w.bits(0, 1).bits(1, 2)
+        w.code(*_fixed_lit_code(256))
+    w.bits(1, 1).bits(1, 2)
+    w.code(*_fixed_lit_code(ord("Z")))
+    w.code(*_fixed_lit_code(256))
+    evil = w.getvalue()
+
+    good = zlib.compress(b"fine " * 50, 6)
+    res, outs, _ = dev([evil, good], flags=0)
+    # evil lane decodes via host fallback (budget is ~C*5/8+4096 < 3000*10)
+    assert res[0] is Result.OK
+    assert outs[0] == b"Z"
+    assert res[1] is Result.ERR or res[1] is Result.OK  # good is zlib-wrapped
+
+
+def test_adler32_pallas_kernel():
+    """Pallas batched adler32 (interpret mode on the CPU backend; the
+    same kernel compiles via Mosaic on TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from defl_tpu.ops.pallas.checksums_pl import adler32_batch_pallas
+
+    rng = np.random.default_rng(3)
+    lens = np.array([0, 5, 3071, 3072, 6144], np.int32)
+    data = np.zeros((5, 6144), np.uint8)
+    for i, L in enumerate(lens):
+        data[i, :L] = rng.integers(0, 256, L, dtype=np.uint8)
+    got = np.asarray(adler32_batch_pallas(jnp.asarray(data),
+                                          jnp.asarray(lens), interpret=True))
+    for i in range(5):
+        assert int(got[i]) == zlib.adler32(data[i, : lens[i]].tobytes()), i

@@ -100,3 +100,47 @@ def test_incompressible_uses_stored():
     # stored framing costs ~5 bytes/64K block + 3 bits: must be tight
     assert len(comp) <= len(raw) + 40
     assert zlib.decompress(comp, -15) == raw
+
+
+class TestDeflateStream:
+    def test_streaming_compress_roundtrip(self):
+        from defl_tpu.core.deflate_ref import DeflateStream
+
+        payload = (CORPUS["text"] + CORPUS["png_simulation"]) * 8  # ~1.8MB
+        st = DeflateStream(level=6)
+        out = bytearray()
+        for i in range(0, len(payload), 50_000):
+            out += st.compress(payload[i : i + 50_000])
+        mid_emitted = len(out)
+        out += st.flush()
+        assert mid_emitted > 0          # blocks flowed before finish
+        assert zlib.decompress(bytes(out)) == payload
+        # window continuity: size should be close to one-shot
+        one_shot = deflate_buffer(payload, level=6)
+        assert len(out) <= len(one_shot) * 1.05
+
+    def test_empty_stream(self):
+        from defl_tpu.core.deflate_ref import DeflateStream
+
+        st = DeflateStream()
+        out = st.compress(b"") + st.flush()
+        assert zlib.decompress(out) == b""
+
+    def test_compress_after_flush_rejected(self):
+        from defl_tpu.core.deflate_ref import DeflateStream
+
+        st = DeflateStream()
+        st.flush()
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            st.compress(b"x")
+
+    def test_streaming_with_dictionary(self):
+        from defl_tpu.core.deflate_ref import DeflateStream
+
+        d = b"shared words appear early " * 40
+        st = DeflateStream(dictionary=d)
+        payload = b"shared words appear early in this payload too"
+        out = st.compress(payload) + st.flush()
+        do = zlib.decompressobj(zdict=d)
+        assert do.decompress(out) == payload
