@@ -138,7 +138,9 @@ def _init_scan_state(N):
         state=z(), bitpos=z(), final=z(), hlit=z(), hdist=z(), hclen=z(),
         idx=z(), prev=z(), dst_pos=z(), need_build=z(), resume_state=z(),
         cl_lo=jnp.zeros((N,), U32), cl_hi=jnp.zeros((N,), U32),
-        lens_pk=jnp.zeros((N, LENS_WORDS), U32),
+        # transposed [words, lanes]: a [N, 40] layout pads each row to
+        # 128-lane tiles (3.2x copy waste per scan step)
+        lens_pk=jnp.zeros((LENS_WORDS, N), U32),
         status=jnp.full((N,), STATUS_RUNNING, I32),
     )
 
@@ -157,26 +159,27 @@ def _init_chunk_state(N):
 
 
 def _unpack_lens(lens_pk, width):
-    """[N, LENS_WORDS] packed nibbles -> [N, width] int32 lengths."""
+    """[LENS_WORDS, N] packed nibbles -> [N, width] int32 lengths."""
     cols = []
     for p in range(width):
-        w = lens_pk[:, p >> 3]
+        w = lens_pk[p >> 3, :]
         cols.append(((w >> U32(4 * (p & 7))) & U32(0xF)).astype(I32))
     return jnp.stack(cols, axis=1)
 
 
 def _write_lens_run(lens_pk, mask, start, end, val):
     """OR value nibbles into positions [start, end) of the packed lens
-    array for masked lanes — pure [N, 40] arithmetic, no scatter."""
-    w8 = 8 * jnp.arange(LENS_WORDS, dtype=I32)[None, :]
-    lo = jnp.clip(start[:, None] - w8, 0, 8)
-    hi = jnp.clip(end[:, None] - w8, 0, 8)
+    array ([LENS_WORDS, N], word-major) for masked lanes — pure
+    arithmetic, no scatter."""
+    w8 = 8 * jnp.arange(LENS_WORDS, dtype=I32)[:, None]
+    lo = jnp.clip(start[None, :] - w8, 0, 8)
+    hi = jnp.clip(end[None, :] - w8, 0, 8)
     n = (hi - lo).astype(U32)
     m = jnp.where(n >= 8, U32(0xFFFFFFFF),
                   ((U32(1) << ((U32(4) * n) & U32(31))) - U32(1))
                   << (U32(4) * lo.astype(U32)))
-    m = jnp.where(mask[:, None] & (n > 0), m, U32(0))
-    splat = (val.astype(U32) * U32(0x11111111))[:, None]
+    m = jnp.where(mask[None, :] & (n > 0), m, U32(0))
+    splat = (val.astype(U32) * U32(0x11111111))[None, :]
     return lens_pk | (splat & m)
 
 
@@ -194,10 +197,34 @@ SMALL = 10
 UNROLL = 4
 
 
+def _mux_cols(bank, idx):
+    """bank[n, idx[n]] via a where-chain multiplexer over static columns.
+
+    Deliberately NOT a masked reduction: on this TPU every reduction
+    lowers to its own kernel at ~3µs launch cost, while a chain of
+    elementwise selects fuses into the surrounding computation (measured;
+    see NOTES.md).  Cost: one (N,) select per column — pure VPU.
+    """
+    M = bank.shape[1]
+    acc = bank[:, 0]
+    for k in range(1, M):
+        acc = jnp.where(idx == k, bank[:, k], acc)
+    return acc
+
+
+def _mux_groups(win3, gidx):
+    """win3[n, gidx[n], :] via a where-chain over static group slices."""
+    G = win3.shape[1]
+    acc = win3[:, 0, :]
+    g = gidx[:, None]
+    for k in range(1, G):
+        acc = jnp.where(g == k, win3[:, k, :], acc)
+    return acc
+
+
 def _extract_small(win, loc):
     """Per-lane extraction of SMALL consecutive words win[n, loc[n]+k]
-    via two-stage compare/select reductions — runs ONCE per UNROLL steps
-    (the mini-window amortisation is the decoder's main extraction save).
+    via two-stage multiplexers — runs ONCE per UNROLL steps.
 
     win: [N, WIN] u32;  loc: [N] int32 in [0, WIN-SMALL].
     Returns [N, SMALL] u32.
@@ -206,28 +233,19 @@ def _extract_small(win, loc):
     G = WIN // 16
     win3 = win.reshape(N, G, 16)
     hi = loc >> 4
-    gi = jnp.arange(G, dtype=I32)[None, :, None]
-    # two adjacent 16-word groups cover loc..loc+SMALL-1
-    sel0 = jnp.sum(jnp.where(gi == hi[:, None, None], win3, U32(0)), axis=1)
-    sel1 = jnp.sum(jnp.where(gi == (hi + 1)[:, None, None], win3, U32(0)),
-                   axis=1)
+    sel0 = _mux_groups(win3, hi)
+    sel1 = _mux_groups(win3, jnp.clip(hi + 1, 0, G - 1))
     sub = jnp.concatenate([sel0, sel1], axis=1)  # [N, 32]
     lo = loc & 15
-    ii = jnp.arange(32, dtype=I32)[None, :]
-    cols = [jnp.sum(jnp.where(ii == (lo + k)[:, None], sub, U32(0)), axis=1)
-            for k in range(SMALL)]
+    cols = [_mux_cols(sub, lo + k) for k in range(SMALL)]
     return jnp.stack(cols, axis=1)
 
 
 def _pick3(small, off):
     """3 consecutive words from the [N, SMALL] mini-window at per-lane
     offset off (clipped; callers check the miss mask)."""
-    ii = jnp.arange(SMALL, dtype=I32)[None, :]
     o = jnp.clip(off, 0, SMALL - 3)
-    w0 = jnp.sum(jnp.where(ii == o[:, None], small, U32(0)), axis=1)
-    w1 = jnp.sum(jnp.where(ii == (o + 1)[:, None], small, U32(0)), axis=1)
-    w2 = jnp.sum(jnp.where(ii == (o + 2)[:, None], small, U32(0)), axis=1)
-    return w0, w1, w2
+    return _mux_cols(small, o), _mux_cols(small, o + 1), _mux_cols(small, o + 2)
 
 
 def _window32(w0, w1, b):
@@ -237,10 +255,7 @@ def _window32(w0, w1, b):
     return jnp.where(b == 0, w0, (w0 >> b) | hi)
 
 
-def _onehot_lookup(bank, idx):
-    """bank[n, idx[n]] via one-hot select-reduce (values < 2^31)."""
-    ii = jnp.arange(bank.shape[1], dtype=I32)[None, :]
-    return jnp.sum(jnp.where(ii == idx[:, None], bank, 0), axis=1)
+
 
 
 def _canonical_decode(ck, peek, is_cl, is_dist):
@@ -273,7 +288,7 @@ def _canonical_decode(ck, peek, is_cl, is_dist):
     # packed bank: word = syms[symidx // 3], symbol in 10-bit slot
     q = symidx // 3
     rem = symidx - 3 * q
-    word = _onehot_lookup(ck["syms"].astype(I32), q).astype(U32)
+    word = _mux_cols(ck["syms"], q)
     sym = ((word >> (U32(10) * rem.astype(U32))) & U32(0x3FF)).astype(I32)
     return sym, clen, found
 
@@ -389,7 +404,7 @@ def _apply_builds(ck, st):
                                 jnp.where(ok, S_LENS, st["state"]))
         st["idx"] = jnp.where(ok, 0, st["idx"])
         st["prev"] = jnp.where(ok, 0, st["prev"])
-        st["lens_pk"] = jnp.where(mask[:, None], U32(0), st["lens_pk"])
+        st["lens_pk"] = jnp.where(mask[None, :], U32(0), st["lens_pk"])
         return ck, st
 
     def build_litdist(args):
@@ -410,7 +425,7 @@ def _apply_builds(ck, st):
         wsel = jnp.arange(LENS_WORDS, dtype=I32)[None, None, :]
         word = jnp.sum(
             jnp.where(wsel == (nib >> 3)[:, :, None],
-                      st["lens_pk"][:, None, :], U32(0)), axis=2)
+                      st["lens_pk"].T[:, None, :], U32(0)), axis=2)
         dist_lens = ((word >> (U32(4) * (nib & 7).astype(U32))) &
                      U32(0xF)).astype(I32)
         dist_lens = jnp.where(k32 < st["hdist"][:, None], dist_lens, 0)
