@@ -43,10 +43,14 @@ def make_silesia_like(total_bytes: int, block: int = 65536, seed: int = 42):
              "while last might us great old year off come since against go "
              "came right used take three").split()
 
+    # generate up to 64 unique blocks and cycle them: per-lane decode work
+    # is identical either way (lanes are independent), and corpus
+    # generation stays O(seconds) at multi-GB batch sizes
+    n_unique = min(64, (total_bytes + block - 1) // block)
     blocks = []
     produced = 0
     kind = 0
-    while produced < total_bytes:
+    while produced < n_unique * block:
         k = kind % 5
         kind += 1
         if k == 0:      # english-ish text
@@ -79,11 +83,12 @@ def make_silesia_like(total_bytes: int, block: int = 65536, seed: int = 42):
             b = bytes(b)
         blocks.append(b)
         produced += len(b)
-    return blocks
+    n_total = (total_bytes + block - 1) // block
+    return [blocks[i % len(blocks)] for i in range(n_total)]
 
 
 def main():
-    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "4096"))
+    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "8192"))
     block = int(os.environ.get("DEFL_BENCH_BLOCK", "65536"))
     reps = int(os.environ.get("DEFL_BENCH_REPS", "2"))
 
@@ -102,13 +107,24 @@ def main():
 
     log(f"generating {n_streams} x {block}B blocks ...")
     payloads = make_silesia_like(n_streams * block, block)[:n_streams]
-    streams = [zlib.compress(p, 6) for p in payloads]
+    comp_cache = {}
+    streams = [comp_cache.setdefault(id(p), zlib.compress(p, 6))
+               for p in payloads]
     raw_bytes = sum(len(p) for p in payloads)
     comp_bytes = sum(len(s) for s in streams)
     log(f"raw={raw_bytes/1e6:.1f}MB comp={comp_bytes/1e6:.1f}MB "
         f"ratio={raw_bytes/comp_bytes:.2f}")
 
     packed = pack_streams(streams, 1, block)
+    # pad the packed width to a power-of-2 bucket: stable shapes across
+    # corpus variations -> persistent-compile-cache hits
+    w_pad = 1024
+    while w_pad < packed.words.shape[1]:
+        w_pad *= 2
+    if w_pad != packed.words.shape[1]:
+        wp = np.zeros((packed.n, w_pad), np.uint32)
+        wp[:, : packed.words.shape[1]] = packed.words
+        packed.words = wp
     C = block
     T = step_budget(C)
     K = int(os.environ.get("DEFL_BENCH_K", "256"))

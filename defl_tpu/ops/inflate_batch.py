@@ -198,17 +198,34 @@ UNROLL = 4
 
 
 def _mux_cols(bank, idx):
-    """bank[n, idx[n]] via a where-chain multiplexer over static columns.
+    """bank[n, idx[n]] via where-chain multiplexers over static columns.
 
     Deliberately NOT a masked reduction: on this TPU every reduction
     lowers to its own kernel at ~3µs launch cost, while a chain of
     elementwise selects fuses into the surrounding computation (measured;
-    see NOTES.md).  Cost: one (N,) select per column — pure VPU.
+    see NOTES.md).  Wide banks use two levels — the group stage selects
+    [N, 16] slices, which the VPU processes 16 lanes at a time, cutting
+    the serial select-chain depth ~M/16-fold.
     """
     M = bank.shape[1]
-    acc = bank[:, 0]
-    for k in range(1, M):
-        acc = jnp.where(idx == k, bank[:, k], acc)
+    if M <= 24:
+        acc = bank[:, 0]
+        for k in range(1, M):
+            acc = jnp.where(idx == k, bank[:, k], acc)
+        return acc
+    Gw = 16
+    Mp = ((M + Gw - 1) // Gw) * Gw
+    if Mp != M:
+        bank = jnp.pad(bank, ((0, 0), (0, Mp - M)))
+    b3 = bank.reshape(bank.shape[0], Mp // Gw, Gw)
+    g = (idx >> 4)[:, None]
+    grp = b3[:, 0, :]
+    for k in range(1, Mp // Gw):
+        grp = jnp.where(g == k, b3[:, k, :], grp)
+    lo = idx & 15
+    acc = grp[:, 0]
+    for k in range(1, Gw):
+        acc = jnp.where(lo == k, grp[:, k], acc)
     return acc
 
 
