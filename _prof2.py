@@ -2,9 +2,10 @@ import time, zlib, jax, jax.numpy as jnp, numpy as np
 from defl_tpu.runtime.pack import pack_streams
 from defl_tpu.ops.inflate_batch import decode_tokens, step_budget
 from bench import make_silesia_like
-N, block = 4096, 65536
+N, block = 8192, 65536
 payloads = make_silesia_like(N*block, block)[:N]
-streams = [zlib.compress(p, 6) for p in payloads]
+cc={}
+streams = [cc.setdefault(id(p), zlib.compress(p, 6)) for p in payloads]
 packed = pack_streams(streams, 1, block)
 T = step_budget(block)
 a = [jnp.asarray(x) for x in (packed.words, packed.nbits, packed.zflag, packed.dst_cap)]
