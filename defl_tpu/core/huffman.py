@@ -144,6 +144,9 @@ def limited_code_lengths(freqs, max_len: int) -> np.ndarray:
     f = np.asarray(freqs, dtype=np.int64)
     n = f.size
     used = np.nonzero(f > 0)[0]
+    if used.size > (1 << max_len):
+        raise ValueError(
+            f"{used.size} symbols cannot fit in {max_len}-bit codes")
     lens = np.zeros(n, dtype=np.int32)
     if used.size == 0:
         return lens
