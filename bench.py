@@ -205,6 +205,23 @@ def main():
                           "error": f"mismatch x{bad}"}))
         return
 
+    # ---- multi-chip scaling (runs only on real multi-device slices) ----
+    scaling_eff = None
+    if len(jax.devices()) > 1:
+        try:
+            from defl_tpu.parallel.shard import DistributedCodec
+
+            codec = DistributedCodec()
+            t0 = time.perf_counter()
+            r_all, _, _ = codec.inflate(streams, dst_capacities=block)
+            multi_dt = time.perf_counter() - t0
+            multi_gbps = raw_bytes / multi_dt / 1e9
+            scaling_eff = multi_gbps / (dec_gbps * len(jax.devices()))
+            log(f"{len(jax.devices())}-device sharded: "
+                f"{multi_gbps:.3f} GB/s (eff {scaling_eff:.2f})")
+        except Exception as e:  # pragma: no cover
+            log(f"scaling measurement failed: {e}")
+
     # The pipeline rate is bounded by its slowest stage (stages overlap
     # across batches in production; transfers ride PCIe on real hosts).
     e2e = min(dec_gbps, res_gbps) if res_gbps else dec_gbps
@@ -223,6 +240,9 @@ def main():
         "note": "decode on-chip; LZ77 resolution on host threads; "
                 "stages pipeline across batches",
     }
+    if scaling_eff is not None:
+        result["n_devices"] = len(jax.devices())
+        result["scaling_eff"] = round(scaling_eff, 3)
     print(json.dumps(result))
 
 
