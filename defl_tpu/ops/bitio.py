@@ -2,15 +2,20 @@
 
 Device-side equivalent of the reference's REFILL/EXTRACT/CONSUME bit-buffer
 layer (`/root/reference/src/infl/apicommon.h:69-129`, `infl.c:1106-1130`) —
-but stateless: instead of maintaining a per-stream bit reservoir, each lane
-keeps only an absolute bit cursor and `peek32` re-gathers two adjacent
-little-endian words per step.  Two words always yield a full aligned 32-bit
-window at any bit offset, which covers every DEFLATE read (max field:
-15-bit code + 13 extra bits = 28; stored LEN/NLEN = 32 after byte-align).
+but stateless: each lane keeps only an absolute bit cursor; 32-bit windows
+at any offset are assembled from adjacent little-endian words, which covers
+every DEFLATE read (max field: 15-bit code + 13 extra bits = 28; stored
+LEN/NLEN = 32 after byte-align).
 
 Streams are packed host-side (runtime/pack.py) as uint32 words, little
 endian, zero-padded: stream bit *i* (LSB-first per RFC 1951 §3.1.1) is bit
 ``i & 31`` of word ``i >> 5``.
+
+`peek32` is the direct two-word-gather formulation; the production decoder
+(ops.inflate_batch) instead extracts words through per-chunk windows and
+multiplexers because XLA:TPU serialises per-lane gathers — peek32 remains
+the readable reference form (and is what a future hardware-gather backend
+would use).
 """
 
 from __future__ import annotations

@@ -10,22 +10,24 @@ The kernel is shaped by two measured TPU realities (see git history):
 XLA:TPU lowers per-lane gathers to ~60-300ns/element serial loops, and
 scan carries are copied every step.  Consequently:
 
-  - The scan carry holds ONLY small (N,) lane scalars.  Everything wide —
-    packed input, Huffman structures, the code-lengths array — lives at
-    *chunk* level, invariant inside the scan (no per-step copies).
-  - Each lane reads its bitstream through a per-chunk VMEM-sized window
-    (`win` [N, WIN] words, recentred between chunks by one contiguous
-    per-lane gather).  Per-step word extraction is a two-stage
-    compare/select reduction — pure VPU arithmetic, no gathers.
+  - The scan carry holds ONLY small per-lane state.  Everything wide —
+    packed input, Huffman structures — lives at *chunk* level, invariant
+    inside the scan (no per-step copies).
+  - Each lane reads its bitstream through a per-chunk window (`win`
+    [N, WIN] words) recentred between chunks by an MXU one-hot
+    contraction over aligned segments; a 10-word mini-window is extracted
+    once per 4-step group, and per-step word picks are where-chain
+    multiplexers (masked *reductions* each cost a ~3µs kernel launch
+    here; select chains fuse).
   - Huffman symbol decode is *tableless*: bit-reverse the peeked window
     once, then 15 rounds of compare/select against per-lane
-    ``first_code[len]``; the final rank->symbol step is a one-hot
-    select-reduction over the symbol bank (pure VPU).
+    ``first_code[len]``; rank->symbol goes through a two-level multiplexer
+    over the packed (3 x 10-bit per word) symbol bank.
   - Each step decodes a whole match (litlen + distance from a second
     32-bit window) or a literal *pair* — one token per step.
-  - Dynamic-header code lengths are emitted as header tokens and folded
-    into the chunk-level ``lens`` array between chunks; the 19 code-length
-    code lengths pack into two u32 lane scalars.
+  - Dynamic-header code lengths accumulate nibble-packed in a word-major
+    [40, N] carry written with pure arithmetic; the 19 code-length code
+    lengths pack into two u32 lane scalars.
 
 Huffman table builds (vectorised argsort over code lengths) run between
 scan chunks, amortised over all lanes that flagged ``need_build``.

@@ -20,7 +20,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from defl_tpu.errors import FLAG_ZLIB, Result
 from defl_tpu.parallel import mesh as mesh_lib

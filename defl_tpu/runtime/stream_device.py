@@ -42,7 +42,6 @@ class DeviceInflateSession:
         import jax.numpy as jnp
 
         from defl_tpu.ops.inflate_batch import decode_tokens, revive_carry
-        from defl_tpu.runtime.session import _bucket
 
         for i, d in enumerate(new_data):
             if d:
