@@ -194,8 +194,9 @@ def _ord_arith(idx):
 
 
 #: words in the per-iteration mini-window; covers UNROLL steps of worst
-#: case consumption (3 x 48 bits) plus the 79-bit final-step window.
-SMALL = 10
+#: case consumption (3 x 96 bits for double-token steps) plus the final
+#: step's furthest 32-bit window.
+SMALL = 24
 UNROLL = 4
 
 
@@ -254,17 +255,30 @@ def _extract_small(win, loc):
     hi = loc >> 4
     sel0 = _mux_groups(win3, hi)
     sel1 = _mux_groups(win3, jnp.clip(hi + 1, 0, G - 1))
-    sub = jnp.concatenate([sel0, sel1], axis=1)  # [N, 32]
+    sel2 = _mux_groups(win3, jnp.clip(hi + 2, 0, G - 1))
+    sub = jnp.concatenate([sel0, sel1, sel2], axis=1)  # [N, 48]
     lo = loc & 15
     cols = [_mux_cols(sub, lo + k) for k in range(SMALL)]
     return jnp.stack(cols, axis=1)
 
 
-def _pick3(small, off):
-    """3 consecutive words from the [N, SMALL] mini-window at per-lane
+def _pick_words(small, off, k):
+    """k consecutive words from the [N, SMALL] mini-window at per-lane
     offset off (clipped; callers check the miss mask)."""
-    o = jnp.clip(off, 0, SMALL - 3)
-    return _mux_cols(small, o), _mux_cols(small, o + 1), _mux_cols(small, o + 2)
+    o = jnp.clip(off, 0, SMALL - k)
+    return [_mux_cols(small, o + j) for j in range(k)]
+
+
+def _win_at(w, bitofs):
+    """32-bit LSB-first window at `bitofs` bits past word w[0] (list of
+    per-lane words; bitofs < 32*(len(w)-1))."""
+    wi = bitofs >> 5
+    lo = w[0]
+    hi = w[1]
+    for k in range(1, len(w) - 1):
+        lo = jnp.where(wi == k, w[k], lo)
+        hi = jnp.where(wi == k, w[k + 1], hi)
+    return _window32(lo, hi, bitofs & 31)
 
 
 def _window32(w0, w1, b):
@@ -494,7 +508,7 @@ def _apply_builds(ck, st):
     n_wait = jnp.sum((nb > 0).astype(I32))
     runnable = (st["status"] == STATUS_RUNNING) & (st["state"] != S_WAIT)
     do_build = (n_wait > 0) & (
-        (n_wait >= nb.shape[0] // 8) | ~jnp.any(runnable))
+        (n_wait >= nb.shape[0] // 16) | ~jnp.any(runnable))
     return jax.lax.cond(do_build, run, lambda a: a, (ck, st))
 
 
@@ -512,8 +526,9 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     # worst-case 48-bit steps or stored-block jumps) stalls until the
     # next group/refill.
     off = (st["bitpos"] >> 5) - small_base
-    win_miss = (off < 0) | (off > SMALL - 3)
-    w0, w1, w2 = _pick3(small, off)
+    win_miss = (off < 0) | (off > SMALL - 5)
+    w = _pick_words(small, off, 5)
+    w0, w1, w2 = w[0], w[1], w[2]
     b = st["bitpos"] & 31
     peek = _window32(w0, w1, b)
     peek_i = peek.astype(I32)
@@ -769,6 +784,53 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     consume = jnp.where(is_eob, clen, consume)
     nstate = jnp.where(is_eob, jnp.where(final > 0, S_DONE, S_BHDR), nstate)
 
+    # ---- opportunistic second token (S_SYM continuation) -----------------
+    # When token 1 fully succeeded and the lane stays in S_SYM, decode one
+    # more symbol in the same lockstep step: a single literal, a whole
+    # match, or the EOB.  Every failure mode (insufficient bits, invalid
+    # code, capacity, distance) simply DEFERS — nothing is consumed and
+    # the next step re-decodes it as a primary token with the full
+    # semantics, so no new error paths exist here.
+    token2 = jnp.zeros((N,), U32)
+    t2 = m_ok | lit1_ok
+    b3 = b + consume
+    peek3 = _win_at(w, b3)
+    avail3 = avail - consume
+    sym3, clen3, found3 = _canonical_decode(ck, peek3, no_tbl, no_tbl)
+    t2v = t2 & found3 & (clen3 <= avail3)
+    is_lit3 = t2v & (sym3 < 256)
+    is_eob3 = t2v & (sym3 == 256)
+    is_len3 = t2v & (sym3 > 256) & (sym3 <= 285)
+
+    lit3_ok = is_lit3 & (dst_pos < cap)
+    token2 = jnp.where(lit3_ok,
+                       (U32(TOK_LIT) << U32(30)) | sym3.astype(U32), token2)
+    consume = jnp.where(lit3_ok, consume + clen3, consume)
+    dst_pos = jnp.where(lit3_ok, dst_pos + 1, dst_pos)
+
+    consume = jnp.where(is_eob3, consume + clen3, consume)
+    nstate = jnp.where(is_eob3,
+                       jnp.where(final > 0, S_DONE, S_BHDR), nstate)
+
+    len3, leb3 = _length_from_sym(sym3, peek3, clen3)
+    c31 = clen3 + jnp.where(is_len3, leb3, 0)
+    b4 = b3 + c31
+    peek4 = _win_at(w, b4)
+    avail4 = avail3 - c31
+    sym4, clen4, found4 = _canonical_decode(ck, peek4, no_tbl, is_len3)
+    dv4, deb4 = _dist_from_sym(sym4, peek4, clen4)
+    c42 = clen4 + deb4
+    m4_ok = (is_len3 & found4 & (c42 <= avail4) & (sym4 <= 29)
+             & (dv4 <= dst_pos + dict_len) & (dst_pos + len3 <= cap))
+    token2 = jnp.where(
+        m4_ok,
+        (U32(TOK_MATCH) << U32(30))
+        | ((len3 - 3).astype(U32) << U32(21))
+        | (dv4 - 1).astype(U32),
+        token2)
+    consume = jnp.where(m4_ok, consume + c31 + c42, consume)
+    dst_pos = jnp.where(m4_ok, dst_pos + len3, dst_pos)
+
     # ---- stalls & terminals -------------------------------------------------
     status = jnp.where(stalled, Result.UNFINISHED, status)
     status = jnp.where(nstate == S_ERR, Result.ERR, status)
@@ -788,7 +850,7 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     out["cl_lo"], out["cl_hi"] = cl_lo, cl_hi
     out["lens_pk"] = lens_pk
     out["resume_state"] = resume_state
-    return out, token
+    return out, (token, token2)
 
 
 # ---------------------------------------------------------------------------
@@ -830,8 +892,12 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32).reshape(N, S, SEG)
     words_hi3 = (wpad >> U32(16)).astype(jnp.float32).reshape(N, S, SEG)
 
-    n_chunks = (T + K - 1) // K
-    tokbuf = jnp.zeros((n_chunks * K, N), U32)
+    # two token slots per step: the step budget is T//2, keeping the
+    # token buffer at ~T slots (valid streams emit >=2 tokens per symbol
+    # step on average; pathological ones fall back to the host engine)
+    n_steps = max(K, T // 2)
+    n_chunks = (n_steps + K - 1) // K
+    tokbuf = jnp.zeros((n_chunks * K * 2, N), U32)
 
     def chunk_active(carry):
         ci, st, ck, tokbuf = carry
@@ -850,19 +916,22 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
             small_base = ck["win_word"] + loc0
             toks = []
             for _u in range(UNROLL):
-                st, tok = _step(st, ck, small, small_base, nbits, cap,
-                                dict_len, has_dict)
+                st, (tok, tok2) = _step(st, ck, small, small_base, nbits,
+                                        cap, dict_len, has_dict)
                 toks.append(tok)
-            return st, jnp.stack(toks)  # [UNROLL, N]
+                toks.append(tok2)
+            return st, jnp.stack(toks)  # [2*UNROLL, N]
 
         st, toks = jax.lax.scan(sbody, st, None, length=K // UNROLL)
-        toks = toks.reshape(K, toks.shape[-1])
-        tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * K, 0))
+        toks = toks.reshape(2 * K, toks.shape[-1])
+        tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * 2 * K, 0))
         return ci + 1, st, ck, tokbuf
 
     _, st, ck, tokbuf = jax.lax.while_loop(
         chunk_active, chunk_body, (jnp.asarray(0, I32), st, ck, tokbuf))
-    return tokbuf[:T], {**st, **ck}
+    # return every emitted slot (2 per step): truncating to T would
+    # silently drop tokens from lanes that finish late
+    return tokbuf, {**st, **ck}
 
 
 def revive_carry(carry, new_cap=None):

@@ -36,7 +36,7 @@ class DistributedCodec:
     """Stream-parallel inflate over a mesh (defaults to all devices)."""
 
     def __init__(self, mesh=None, dictionary: bytes | None = None,
-                 chunk_steps: int = 256):
+                 chunk_steps: int = 128):
         self.mesh = mesh if mesh is not None else mesh_lib.make_stream_mesh()
         self.n_shards = int(np.prod([self.mesh.shape[a]
                                      for a in self.mesh.axis_names]))

@@ -26,7 +26,7 @@ def _bucket(x: int) -> int:
 
 
 def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
-                   dst_capacities=None, chunk_steps: int = 256,
+                   dst_capacities=None, chunk_steps: int = 128,
                    resolve: str = "device"):
     """Batched device decode.  Returns (results, outputs, stats dict).
 
