@@ -64,6 +64,10 @@ struct Table {
   uint32_t entry[1 << kRoot];
   uint32_t sub[1 << 15];  // generous; max subtable load is small
   int sub_used = 0;
+  // longest assigned code length: gates the invalid-vs-need-input
+  // decision so all engines error once maxlen bits are available
+  // (matches core/oracle.py _decode_symbol semantics)
+  int maxlen = 15;
 };
 
 inline uint32_t bitrev(uint32_t v, int n) {
@@ -103,6 +107,8 @@ bool build_table(Table& t, const uint8_t* lens, int n) {
 
   memset(t.entry, 0, sizeof(t.entry));
   t.sub_used = 0;
+  t.maxlen = 0;
+  for (int l = 15; l >= 1; l--) if (count[l]) { t.maxlen = l; break; }
 
   // roots
   for (int l = 1; l <= Table::kRoot; l++) {
@@ -115,10 +121,7 @@ bool build_table(Table& t, const uint8_t* lens, int n) {
     }
   }
   // long codes: group by low kRoot bits
-  // find max length actually used
-  int maxlen = 0;
-  for (int l = 15; l >= 1; l--) if (count[l]) { maxlen = l; break; }
-  if (maxlen <= Table::kRoot) return true;
+  if (t.maxlen <= Table::kRoot) return true;
 
   // For each root index that some long code maps to, build a subtable of
   // (maxlen_for_prefix - kRoot) index bits.
@@ -171,7 +174,7 @@ inline int decode_sym(BitReader& b, const Table& t, int* used) {
     e = t.sub[off + ((b.bits >> Table::kRoot) & ((1u << eb) - 1))];
   }
   int len = (int)(e & 0xF);
-  if (!len) return b.n >= 15 ? -1 : -2;
+  if (!len) return b.n >= t.maxlen ? -1 : -2;
   if (len > b.n) return -2;
   *used = len;
   return (int)((e >> 4) & 0x1FF);
@@ -204,6 +207,8 @@ struct Inflater {
   Table clt;
   uint8_t lens[320];
 };
+
+uint32_t adler32_impl(const uint8_t* p, uint64_t n, uint32_t start);
 
 int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
                  uint64_t dstcap, uint64_t* dstlen, int flags) {
@@ -330,6 +335,19 @@ int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
         for (uint32_t k = 0; k < length; k++) d[k] = s[k];
       }
     }
+  }
+  if ((flags & 1) && (flags & 2)) {
+    // FLAG_VERIFY_ADLER32 extension: 4 big-endian trailer bytes after the
+    // byte-aligned end of the final block (reference never checks it)
+    b.align();
+    b.refill();
+    if (b.n < 32) { *dstlen = out; return R_UNFINISHED; }
+    uint32_t stored = 0;
+    for (int k = 0; k < 4; k++) {
+      stored = (stored << 8) | b.peek(8);
+      b.drop(8);
+    }
+    if (stored != adler32_impl(dst, out, 1)) { *dstlen = out; return R_ERR; }
   }
   *dstlen = out;
   return R_OK;
@@ -789,7 +807,11 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
         toks[ntok++].v = src[i];
         i++;
       }
-      if (ntok == kBlockTokens) flush((uint64_t)i == n, i);
+      // never finalize mid-loop: a flush landing exactly at end-of-input
+      // would otherwise mark its block final AND the post-loop else branch
+      // would append a second empty final block (garbage before the
+      // trailer).  Finalization is handled only after the loop.
+      if (ntok == kBlockTokens) flush(false, i);
     }
     if (ntok || blk_start != n) flush(true, n);
     else {
@@ -826,6 +848,8 @@ struct ResolveArgs {
   uint8_t* out;             // [N, out_stride]
   uint64_t out_stride;
   const int32_t* dst_len;   // [N]
+  const int32_t* dst_start; // [N] or null: out[0:dst_start) is pre-existing
+                            // window content (incremental streaming resolve)
   const uint8_t* dict;
   uint32_t dict_len;
 };
@@ -835,7 +859,7 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
   const uint8_t* in = a.input + n * a.in_stride;
   uint8_t* out = a.out + n * a.out_stride;
   int64_t want = a.dst_len[n];
-  int64_t p = 0;
+  int64_t p = a.dst_start ? a.dst_start[n] : 0;
   for (int64_t t = 0; t < a.T && p < want; t++) {
     uint32_t v = tok[t];
     uint32_t kind = v >> 30;
@@ -948,11 +972,11 @@ int dt_inflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
 int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
                       const uint8_t* input, uint64_t in_stride,
                       uint8_t* out, uint64_t out_stride,
-                      const int32_t* dst_len,
+                      const int32_t* dst_len, const int32_t* dst_start,
                       const uint8_t* dict, uint32_t dict_len,
                       int n_threads) {
   ResolveArgs a{tokens, T, input, in_stride, out, out_stride,
-                dst_len, dict, dict_len};
+                dst_len, dst_start, dict, dict_len};
   resolve_all(a, N, n_threads);
   return 0;
 }

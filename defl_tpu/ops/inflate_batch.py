@@ -157,6 +157,10 @@ def _init_chunk_state(N):
         first=jnp.stack([z16, z16, z16], axis=1),
         offs=jnp.stack([z16, z16, z16], axis=1),
         syms=jnp.zeros((N, tables.SYMS_WORDS), U32),  # 3 x 10-bit per word
+        # longest assigned code length per table: the invalid-vs-need-input
+        # decision point (all three engines error once maxlen bits are
+        # available and no code matches — ≙ oracle._decode_symbol)
+        maxlen=jnp.full((N, 3), C.MAX_CODE_LENGTH, I32),
     )
 
 
@@ -420,6 +424,10 @@ def _apply_builds(ck, st):
         w = syms_packed.shape[-1]
         ck["syms"] = ck["syms"].at[:, wb : wb + w].set(
             jnp.where(m, syms_packed, ck["syms"][:, wb : wb + w]))
+        ml = jnp.max(jnp.arange(16, dtype=I32)[None, :] * (count > 0),
+                     axis=-1)
+        ck["maxlen"] = ck["maxlen"].at[:, tbl].set(
+            jnp.where(mask, ml, ck["maxlen"][:, tbl]))
         return ck
 
     def build_cl(args):
@@ -679,8 +687,9 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     is_cl_tbl = s == S_LENS
     no_tbl = jnp.zeros_like(is_cl_tbl)
     sym, clen, found = _canonical_decode(ck, peek, is_cl_tbl, no_tbl)
-    dec_stall = dec_mask & ((~found & (avail < 15)) | (found & (clen > avail)))
-    dec_err = dec_mask & ~found & (avail >= 15)
+    ml1 = jnp.where(is_cl_tbl, ck["maxlen"][:, 0], ck["maxlen"][:, 1])
+    dec_stall = dec_mask & ((~found & (avail < ml1)) | (found & (clen > avail)))
+    dec_err = dec_mask & ~found & (avail >= ml1)
     dec_ok = dec_mask & found & (clen <= avail) & ~dec_err
     stalled = stalled | dec_stall
     nstate = jnp.where(dec_err, S_ERR, nstate)
@@ -740,10 +749,11 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
     # match path
     dv, deb = _dist_from_sym(sym2, peek2, clen2)
     consumed2 = clen2 + deb
-    d_stall = is_len & ((~found2 & (avail2 < 15))
+    ml2 = ck["maxlen"][:, 2]
+    d_stall = is_len & ((~found2 & (avail2 < ml2))
                         | (found2 & (consumed2 > avail2)))
     d_err = is_len & ~d_stall & (
-        (found2 & (sym2 > 29)) | (~found2 & (avail2 >= 15)))
+        (found2 & (sym2 > 29)) | (~found2 & (avail2 >= ml2)))
     md = is_len & ~d_stall & ~d_err
     too_far = md & (dv > dst_pos + dict_len)  # ≙ infl.c:1286
     m_full = md & ~too_far & (dst_pos + len_v > cap)

@@ -38,12 +38,20 @@ from defl_tpu.ops.inflate_batch import (
 
 @functools.partial(jax.jit, static_argnames=("C", "dict_len"))
 def resolve_tokens(tokens, words, dst_len, *, C: int, dict_len: int = 0,
-                   dict_words=None):
+                   dict_words=None, prefix=None):
     """tokens: uint32 [T, N] from decode_tokens;  words: uint32 [N, W]
     packed input;  dst_len: int32 [N] bytes actually produced per lane.
 
     Returns uint8 [N, C] output (bytes past dst_len are zero).
+
+    `prefix` (uint8 [N, P], exclusive with dict_len) supports incremental
+    streaming resolve: each lane's prior window bytes, right-aligned, sit
+    before position 0 and back-references may reach into them (the
+    per-lane analog of the shared dictionary prefix).
     """
+    if prefix is not None:
+        assert dict_len == 0, "prefix and dict_len are exclusive"
+        dict_len = prefix.shape[1]
     toks = tokens.T  # [N, T]
     N, T = toks.shape
     D = dict_len
@@ -88,8 +96,12 @@ def resolve_tokens(tokens, words, dst_len, *, C: int, dict_len: int = 0,
     sbyte = ((w >> (((sb & 3) * 8).astype(U32))) & U32(0xFF)).astype(I32)
     val = jnp.where(in_out & (kind_at == TOK_STORED), sbyte, val)
 
-    # dictionary prefix: resolved constants shared across lanes
-    if D:
+    # prefix region: per-lane prior-window bytes (streaming) or the
+    # shared preset dictionary (resolved constants for every lane)
+    if prefix is not None:
+        val = jnp.where(i < D, jnp.pad(prefix.astype(I32), ((0, 0), (0, C))),
+                        val)
+    elif D:
         dw = jnp.take(dict_words, jnp.clip(i[0] >> 2, 0, dict_words.shape[0] - 1))
         dbyte = ((dw >> (((i[0] & 3) * 8).astype(U32))) & U32(0xFF)).astype(I32)
         val = jnp.where(i < D, dbyte[None, :], val)

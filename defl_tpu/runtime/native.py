@@ -74,7 +74,7 @@ def get_lib():
         lib.dt_resolve_tokens.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int64,
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
-            i32p, u8p, ctypes.c_uint32, ctypes.c_int]
+            i32p, i32p, u8p, ctypes.c_uint32, ctypes.c_int]
         for name in ("dt_deflate_batch", "dt_inflate_batch"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
@@ -128,12 +128,17 @@ def native_deflate(data: bytes, level: int = 6,
 
 def native_resolve_tokens(tokens, input_words, dst_len, C: int,
                           dictionary: bytes | None = None,
-                          n_threads: int | None = None):
+                          n_threads: int | None = None,
+                          out=None, dst_start=None):
     """Multithreaded pass-2 token resolution (hybrid TPU+host inflate).
 
     tokens: uint32 [N, T] C-contiguous (lane-major);
     input_words: the packed uint32 [N, W] input (stored-run source bytes);
     dst_len: int32 [N].  Returns uint8 [N, C].
+
+    For incremental streaming resolve, pass `out` preloaded with each
+    lane's prior window bytes in out[i, :dst_start[i]]; resolution starts
+    at dst_start and back-references read the preloaded prefix.
     """
     import numpy as np
 
@@ -144,7 +149,16 @@ def native_resolve_tokens(tokens, input_words, dst_len, C: int,
     inputs = np.ascontiguousarray(input_words, dtype=np.uint32)
     dst_len = np.ascontiguousarray(dst_len, dtype=np.int32)
     N, T = tokens.shape
-    out = np.zeros((N, C), dtype=np.uint8)
+    if out is None:
+        out = np.zeros((N, C), dtype=np.uint8)
+    assert out.shape == (N, C) and out.dtype == np.uint8 \
+        and out.flags.c_contiguous
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if dst_start is not None:
+        dst_start = np.ascontiguousarray(dst_start, dtype=np.int32)
+        start_p = dst_start.ctypes.data_as(i32p)
+    else:
+        start_p = ctypes.cast(None, i32p)
     d = bytes(dictionary) if dictionary else b""
     if n_threads is None:
         n_threads = min(16, os.cpu_count() or 1)
@@ -153,7 +167,7 @@ def native_resolve_tokens(tokens, input_words, dst_len, C: int,
         inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         inputs.strides[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
-        dst_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst_len.ctypes.data_as(i32p), start_p,
         _u8(d), len(d), n_threads)
     return out
 

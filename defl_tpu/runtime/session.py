@@ -45,7 +45,9 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
         return [], [], {}
 
     if dst_capacities is None:
-        # No declared capacity: assume a generous ratio, retry on EFULL.
+        # No declared capacity: assume a generous ratio; lanes that still
+        # hit EFULL are re-run through the host engine with grow-on-EFULL
+        # semantics (same result the host backend produces).
         caps = [min(64 * len(b) if isinstance(b, (bytes, bytearray)) else
                     64 * sum(len(c) for c in b), 1 << 26) or 64
                 for b in streams]
@@ -61,10 +63,13 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     T = step_budget(C)
 
     # Pad N and W up to buckets so repeated calls reuse compiled shapes.
-    n_pad = 4
+    # Generous minimums: compiling the lockstep decoder costs minutes per
+    # bucket (the dominant cost of a cold test run); padding idle lanes
+    # and words costs microseconds.
+    n_pad = 32
     while n_pad < packed.n:
         n_pad *= 2
-    w_pad = 64
+    w_pad = 256
     while w_pad < packed.words.shape[1]:
         w_pad *= 2
     if n_pad != packed.n or w_pad != packed.words.shape[1]:
@@ -93,6 +98,9 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
         if not available():
             resolve = "device"
 
+    verify = bool(flags & FLAG_VERIFY_ADLER32) and bool(zf)
+    adler_dev = None
+
     if resolve == "host":
         toks_nt = np.asarray(jnp.transpose(tokens))  # [N, T] lane-major
         dst_pos = np.asarray(st["dst_pos"])
@@ -102,45 +110,105 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
         out = resolve_tokens(tokens, jnp.asarray(packed.words),
                              st["dst_pos"], C=C, dict_len=dict_len,
                              dict_words=dict_words)
+        if verify:
+            # trailers verified on device: outputs never ship to the host
+            # for the checksum (≙ the docstring contract in ops.checksums)
+            from defl_tpu.ops.checksums import adler32_batch
+
+            adler_dev = np.asarray(adler32_batch(out, st["dst_pos"]))
         out_np = np.asarray(out)
         dst_pos = np.asarray(st["dst_pos"])
 
     status = np.asarray(st["status"])
     bitpos = np.asarray(st["bitpos"])
-
-    verify = bool(flags & FLAG_VERIFY_ADLER32) and bool(zf)
     in_bytes = packed.words.view(np.uint8)
+
+    # Lanes needing a host-engine pass: step-budget exhaustion
+    # (pathological streams), plus the promised EFULL retry when the
+    # caller declared no capacity.  Routed through the multithreaded C++
+    # batch engine, not the single-threaded Python oracle.
+    fb_idx = [i for i in range(n_in)
+              if int(status[i]) == STATUS_RUNNING
+              or (dst_capacities is None and int(status[i]) == Result.EFULL)]
+    fb = {}
+    if fb_idx:
+        datas = [bytes(streams[i]) if isinstance(streams[i],
+                                                 (bytes, bytearray))
+                 else b"".join(bytes(c) for c in streams[i])
+                 for i in fb_idx]
+        fb = dict(zip(fb_idx, _host_fallback(
+            datas, None if dst_capacities is None
+            else [caps[i] for i in fb_idx], flags, dictionary)))
 
     results: list[Result] = []
     outputs: list[bytes] = []
     for i in range(n_in):
-        sti = int(status[i])
-        if sti == STATUS_RUNNING:
-            # step budget exhausted (pathological stream): host fallback
-            data = streams[i] if isinstance(streams[i], (bytes, bytearray)) \
-                else b"".join(bytes(c) for c in streams[i])
-            r, o = inflate_oracle(bytes(data), flags, caps[i], dictionary)
+        if i in fb:
+            r, o = fb[i]
             results.append(r)
             outputs.append(o)
             continue
-        r = Result(sti)
+        r = Result(int(status[i]))
         o = out_np[i, : int(dst_pos[i])].tobytes()
         if verify and r is Result.OK:
             # zlib trailer: 4 big-endian bytes after the byte-aligned end
             # of the final block (the reference never checks it; this is
             # the FLAG_VERIFY_ADLER32 extension)
-            import zlib as _z
-
             tp = (int(bitpos[i]) + 7) // 8
             stored = int.from_bytes(in_bytes[i, tp : tp + 4], "big")
             if tp + 4 > packed.nbits[i] // 8:
                 r = Result.UNFINISHED
-            elif stored != _z.adler32(o):
+            elif stored != (int(adler_dev[i]) if adler_dev is not None
+                            else _host_adler32(o)):
                 r = Result.ERR
         results.append(r)
         outputs.append(o)
     stats = {"bitpos": bitpos, "dst_pos": dst_pos, "T": T, "C": C}
     return results, outputs, stats
+
+
+def _host_adler32(data: bytes) -> int:
+    from defl_tpu.runtime import native
+
+    if native.available():
+        return native.native_adler32(data)
+    from defl_tpu.core.checksums import adler32
+
+    return adler32(data)
+
+
+def _host_fallback(datas, caps, flags, dictionary):
+    """Host-engine decode for lanes the device path couldn't finish.
+
+    caps=None means grow-on-EFULL semantics (matching inflate_oracle with
+    cap=None).  Uses the multithreaded C++ batch engine when available;
+    dictionary streams go through the oracle (the native one-shot path
+    rejects FDICT, ≙ reference zlib.h:88-93 behaviour)."""
+    from defl_tpu.runtime import native
+
+    if native.available() and not dictionary:
+        grow = caps is None
+        cur = ([max(64 * len(d), 4096) for d in datas] if grow
+               else list(caps))
+        results: list = [None] * len(datas)
+        outputs: list = [b""] * len(datas)
+        pending = list(range(len(datas)))
+        while pending:
+            rs, os_ = native.native_inflate_batch(
+                [datas[i] for i in pending],
+                [cur[i] for i in pending], flags)
+            nxt = []
+            for j, i in enumerate(pending):
+                if grow and rs[j] is Result.EFULL and cur[i] < (1 << 31):
+                    cur[i] *= 4
+                    nxt.append(i)
+                else:
+                    results[i], outputs[i] = rs[j], os_[j]
+            pending = nxt
+        return list(zip(results, outputs))
+    return [inflate_oracle(bytes(d), flags,
+                           None if caps is None else caps[k], dictionary)
+            for k, d in enumerate(datas)]
 
 
 def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,

@@ -48,8 +48,8 @@ class DeviceInflateSession:
                 self.bufs[i] += bytes(d)
 
         w_bytes = max(8, max(len(b) for b in self.bufs))
-        w_pad = 64
-        while w_pad * 4 < w_bytes + 8:
+        w_pad = 256        # generous minimum: one compile bucket (see
+        while w_pad * 4 < w_bytes + 8:   # session.py bucket rationale)
             w_pad *= 2
         words = np.zeros((self.n, w_pad), np.uint32)
         nbits = np.zeros(self.n, np.int32)

@@ -1,0 +1,118 @@
+"""Regression tests for cross-engine behaviour fixes (round-2 advice).
+
+Covers:
+- native deflate: flush landing exactly at end-of-input must not emit a
+  duplicate final block (defl_host.cc block-token flush).
+- invalid-vs-need-input decision gated on the table's actual max code
+  length: all engines must return ERR (not UNFINISHED) once maxlen bits
+  are available and no code matches (≙ core/oracle.py _decode_symbol).
+- device_inflate with no declared capacity must deliver full output for
+  high-ratio streams (EFULL lanes re-run via the host engine).
+- native FLAG_VERIFY_ADLER32 trailer check.
+"""
+
+import zlib
+
+import pytest
+
+from defl_tpu.core.oracle import inflate_oracle
+from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
+from defl_tpu.runtime import native
+from tests.gendata import BitWriter
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library unavailable")
+
+
+def _unique_trigram_bytes(n: int) -> bytes:
+    """n bytes with no repeated 3-gram: encodes as all-literal tokens."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += bytes(((i >> 8) & 0xFF, i & 0xFF))
+        i += 1
+    return bytes(out[:n])
+
+
+@needs_native
+@pytest.mark.parametrize("n", [16384, 32768, 16384 * 3])
+def test_deflate_block_boundary_no_duplicate_final(n):
+    # Token count an exact multiple of the 16384-token block flush: the
+    # mid-loop flush must never finalize, or a second empty final block
+    # lands between the real final block and the adler trailer.
+    data = _unique_trigram_bytes(n)
+    comp = native.native_deflate(data, level=6, flags=FLAG_ZLIB)
+    assert zlib.decompress(comp) == data
+
+
+def _incomplete_code_truncated() -> bytes:
+    """Raw-deflate stream: dynamic block whose litlen table assigns only
+    two 2-bit codes (incomplete tree, legal), then data bits that land in
+    the unassigned '11' prefix.  maxlen=2, so with >=2 bits available this
+    is a hard ERR -- engines gating on 15 bits would wrongly wait."""
+    w = BitWriter().bits(1, 1).bits(2, 2)    # final, dynamic
+    w.bits(0, 5)                             # HLIT  = 257
+    w.bits(0, 5)                             # HDIST = 1
+    w.bits(18 - 4, 4)                        # HCLEN = 18 (covers sym 1)
+    # codelen lens over order 16 17 18 0 8 7 9 6 10 5 11 4 12 3 13 2 14 1:
+    cl = {16: 0, 17: 0, 18: 2, 0: 2, 8: 0, 7: 0, 9: 0, 6: 0, 10: 0,
+          5: 0, 11: 0, 4: 0, 12: 0, 3: 0, 13: 0, 2: 2, 14: 0, 1: 0}
+    for s in (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1):
+        w.bits(cl[s], 3)
+    # canonical codelen codes (all len 2): 0->00, 2->01, 18->10
+    C0, C2, C18 = 0b00, 0b01, 0b10
+    # litlen lens: sym 88 -> 2, sym 256 -> 2, everything else 0
+    w.code(C18, 2).bits(88 - 11, 7)          # 88 zeros
+    w.code(C2, 2)                            # sym 88: len 2
+    w.code(C18, 2).bits(138 - 11, 7)         # zeros 89..226
+    w.code(C18, 2).bits(29 - 11, 7)          # zeros 227..255
+    w.code(C2, 2)                            # sym 256: len 2
+    # distance table: one entry, len 2 (incomplete, unused)
+    w.code(C2, 2)
+    # data: litlen canonical codes are 88->00, 256->01; '11' is unassigned
+    w.code(3, 2)
+    return w.getvalue()
+
+
+def test_invalid_code_vs_need_input_oracle():
+    r, _ = inflate_oracle(_incomplete_code_truncated(), flags=0)
+    assert r is Result.ERR
+
+
+@needs_native
+def test_invalid_code_vs_need_input_native():
+    r, _ = native.native_inflate(_incomplete_code_truncated(), 64, flags=0)
+    assert r is Result.ERR
+
+
+def test_invalid_code_vs_need_input_device():
+    from defl_tpu.runtime.session import device_inflate
+
+    res, _, _ = device_inflate([_incomplete_code_truncated()], flags=0,
+                               dst_capacities=64)
+    assert res[0] is Result.ERR
+
+
+def test_no_capacity_high_ratio_full_output():
+    # ratio > 64x: the generous-cap guess EFULLs on device; the promised
+    # retry must deliver the complete output like the host backend does.
+    from defl_tpu.runtime.session import device_inflate
+
+    raw = b"\0" * 100_000
+    res, outs, _ = device_inflate([zlib.compress(raw)], dst_capacities=None)
+    assert res[0] is Result.OK
+    assert outs[0] == raw
+
+
+@needs_native
+def test_native_adler_verify():
+    data = b"adler verified payload " * 40
+    comp = bytearray(zlib.compress(data))
+    fl = FLAG_ZLIB | FLAG_VERIFY_ADLER32
+    r, out = native.native_inflate(bytes(comp), len(data), flags=fl)
+    assert r is Result.OK and out == data
+    comp[-1] ^= 0xFF                        # corrupt the trailer
+    r, _ = native.native_inflate(bytes(comp), len(data), flags=fl)
+    assert r is Result.ERR
+    r, _ = native.native_inflate(bytes(comp[:-2]), len(data), flags=fl)
+    assert r is Result.UNFINISHED
