@@ -1,250 +1,13 @@
-"""Benchmark: batched inflate throughput on one TPU chip.
+"""Driver entry point: delegates to the packaged benchmark
+(defl_tpu/bench.py; `defl-tpu-bench` / `python -m defl_tpu.bench` after
+pip install).  Prints ONE JSON line with the headline inflate GB/s."""
 
-Decodes a batch of independent 64KB-block zlib streams (Silesia-style mix:
-text, structured, binary, high-redundancy — generated locally, zero-egress
-environment) with the device pipeline and reports steady-state GB/s of
-decompressed output per chip.
-
-Prints ONE JSON line:
-  {"metric": "inflate_GBps_per_chip", "value": X, "unit": "GB/s",
-   "vs_baseline": X / 1.0}
-Baseline 1.0 GB/s/chip is the north-star target from BASELINE.md (the
-reference publishes no numbers).  Extra diagnostics go to stderr.
-"""
-
-from __future__ import annotations
-
-import json
 import os
-import random
 import sys
-import time
-import zlib
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def make_silesia_like(total_bytes: int, block: int = 65536, seed: int = 42):
-    """Mixed-characteristic corpus blocks (text / JSON-ish / binary-struct /
-    high-redundancy / semi-random), ~2:1 zlib ratio like Silesia."""
-    rng = random.Random(seed)
-    words = ("the of and to in is was he for it with as his on be at by had "
-             "not are but from or have an they which one you were her all "
-             "she there would their we him been has when who will more no "
-             "if out so said what up its about into than them can only "
-             "other new some could time these two may then do first any my "
-             "now such like our over man me even most made after also did "
-             "many before must through years where much your way down "
-             "should because each just those people how too little state "
-             "good very make world still own see men work long get here "
-             "between both life being under never day same another know "
-             "while last might us great old year off come since against go "
-             "came right used take three").split()
-
-    # generate up to 64 unique blocks and cycle them: per-lane decode work
-    # is identical either way (lanes are independent), and corpus
-    # generation stays O(seconds) at multi-GB batch sizes
-    n_unique = min(64, (total_bytes + block - 1) // block)
-    blocks = []
-    produced = 0
-    kind = 0
-    while produced < n_unique * block:
-        k = kind % 5
-        kind += 1
-        if k == 0:      # english-ish text
-            b = (" ".join(rng.choice(words)
-                          for _ in range(block // 5))).encode()[:block]
-        elif k == 1:    # structured records (xml/json-ish)
-            rows = []
-            while sum(len(r) for r in rows) < block:
-                rows.append(
-                    b'<row id="%d" name="item-%d" value="%.6f"/>'
-                    % (rng.randrange(10**6), rng.randrange(10**4),
-                       rng.random()))
-            b = b"\n".join(rows)[:block]
-        elif k == 2:    # binary structs: correlated little-endian ints
-            vals = bytearray()
-            x = 1 << 20
-            while len(vals) < block:
-                x = (x + rng.randrange(-1000, 1000)) & 0xFFFFFFFF
-                vals += x.to_bytes(4, "little")
-            b = bytes(vals[:block])
-        elif k == 3:    # high redundancy
-            unit = rng.randbytes(rng.choice([3, 17, 64, 256]))
-            b = (unit * (block // len(unit) + 1))[:block]
-        else:           # semi-random with embedded repeats
-            b = bytearray(rng.randbytes(block))
-            blob = rng.randbytes(600)
-            for _ in range(20):
-                p = rng.randrange(0, block - 600)
-                b[p : p + 600] = blob
-            b = bytes(b)
-        blocks.append(b)
-        produced += len(b)
-    n_total = (total_bytes + block - 1) // block
-    return [blocks[i % len(blocks)] for i in range(n_total)]
-
-
-def main():
-    n_streams = int(os.environ.get("DEFL_BENCH_STREAMS", "8192"))
-    block = int(os.environ.get("DEFL_BENCH_BLOCK", "65536"))
-    reps = int(os.environ.get("DEFL_BENCH_REPS", "2"))
-
-    import jax
-    import jax.numpy as jnp
-
-    import numpy as np
-
-    from defl_tpu.ops.inflate_batch import decode_tokens
-    from defl_tpu.ops.resolve import resolve_tokens
-    from defl_tpu.runtime.pack import pack_streams
-    from defl_tpu.ops.inflate_batch import step_budget
-
-    log(f"devices: {jax.devices()}")
-    dev_kind = jax.devices()[0].platform
-
-    log(f"generating {n_streams} x {block}B blocks ...")
-    payloads = make_silesia_like(n_streams * block, block)[:n_streams]
-    comp_cache = {}
-    streams = [comp_cache.setdefault(id(p), zlib.compress(p, 6))
-               for p in payloads]
-    raw_bytes = sum(len(p) for p in payloads)
-    comp_bytes = sum(len(s) for s in streams)
-    log(f"raw={raw_bytes/1e6:.1f}MB comp={comp_bytes/1e6:.1f}MB "
-        f"ratio={raw_bytes/comp_bytes:.2f}")
-
-    packed = pack_streams(streams, 1, block)
-    # pad the packed width to a power-of-2 bucket: stable shapes across
-    # corpus variations -> persistent-compile-cache hits
-    w_pad = 1024
-    while w_pad < packed.words.shape[1]:
-        w_pad *= 2
-    if w_pad != packed.words.shape[1]:
-        wp = np.zeros((packed.n, w_pad), np.uint32)
-        wp[:, : packed.words.shape[1]] = packed.words
-        packed.words = wp
-    C = block
-    T = step_budget(C)
-    K = int(os.environ.get("DEFL_BENCH_K", "128"))
-
-    from defl_tpu.runtime.native import available, native_resolve_tokens
-
-    words = jnp.asarray(packed.words)
-    nbits = jnp.asarray(packed.nbits)
-    zflag = jnp.asarray(packed.zflag)
-    cap = jnp.asarray(packed.dst_cap)
-
-    def decode_nt(words, nbits, zflag, cap):
-        toks, st = decode_tokens(words, nbits, zflag, cap, T=T, K=K)
-        return jnp.transpose(toks), st["status"], st["dst_pos"]
-
-    jfn = jax.jit(decode_nt)
-    use_host = available() and os.environ.get("DEFL_BENCH_RESOLVE",
-                                              "host") == "host"
-
-    log("compiling + warmup ...")
-    t0 = time.perf_counter()
-    toks_nt, status, dst_pos = jfn(words, nbits, zflag, cap)
-    st_np = np.asarray(status)
-    log(f"first call: {time.perf_counter() - t0:.1f}s")
-
-    ok = int((st_np == 0).sum())
-    log(f"status: ok={ok}/{n_streams}")
-    if ok != n_streams:
-        bad = np.nonzero(st_np != 0)[0][:5]
-        log(f"non-ok lanes: {bad} statuses {st_np[bad]}")
-
-    # ---- phase 1: device token decode (compressed bytes -> full token
-    # stream, all on-chip; only the per-lane status vector is fetched) ----
-    dec_times = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        toks_nt, status, dst_pos = jfn(words, nbits, zflag, cap)
-        _ = np.asarray(status)  # sync: decode fully materialised on device
-        dt = time.perf_counter() - t0
-        dec_times.append(dt)
-        log(f"decode rep {r}: {dt*1e3:.1f}ms -> {raw_bytes/dt/1e9:.3f} GB/s")
-    dec_gbps = raw_bytes / min(dec_times) / 1e9
-
-    # ---- fetch tokens (untimed: this environment tunnels device<->host
-    # at ~14MB/s, an axon-relay artifact ~1000x below real PCIe) ----
-    t0 = time.perf_counter()
-    tn = np.asarray(toks_nt)
-    dp = np.asarray(dst_pos)
-    fetch_mbps = tn.nbytes / (time.perf_counter() - t0) / 1e6
-    log(f"token fetch: {fetch_mbps:.0f} MB/s (env tunnel; untimed)")
-
-    # ---- phase 2: host multithreaded LZ77 resolution ----
-    res_gbps = 0.0
-    if use_host:
-        res_times = []
-        out_np = None
-        for r in range(reps):
-            t0 = time.perf_counter()
-            out_np = native_resolve_tokens(tn, packed.words, dp, C)
-            dt = time.perf_counter() - t0
-            res_times.append(dt)
-            log(f"resolve rep {r}: {dt*1e3:.1f}ms -> "
-                f"{raw_bytes/dt/1e9:.3f} GB/s")
-        res_gbps = raw_bytes / min(res_times) / 1e9
-    else:
-        out = resolve_tokens(jnp.asarray(tn.T), words, jnp.asarray(dp), C=C)
-        out_np = np.asarray(out)
-
-    # correctness: every lane byte-exact
-    bad = 0
-    for i in range(n_streams):
-        if out_np[i, : dp[i]].tobytes() != payloads[i]:
-            bad += 1
-    if bad:
-        log(f"MISMATCH on {bad} lanes!")
-        print(json.dumps({"metric": "inflate_GBps_per_chip", "value": 0.0,
-                          "unit": "GB/s", "vs_baseline": 0.0,
-                          "error": f"mismatch x{bad}"}))
-        return
-
-    # ---- multi-chip scaling (runs only on real multi-device slices) ----
-    scaling_eff = None
-    if len(jax.devices()) > 1:
-        try:
-            from defl_tpu.parallel.shard import DistributedCodec
-
-            codec = DistributedCodec()
-            t0 = time.perf_counter()
-            r_all, _, _ = codec.inflate(streams, dst_capacities=block)
-            multi_dt = time.perf_counter() - t0
-            multi_gbps = raw_bytes / multi_dt / 1e9
-            scaling_eff = multi_gbps / (dec_gbps * len(jax.devices()))
-            log(f"{len(jax.devices())}-device sharded: "
-                f"{multi_gbps:.3f} GB/s (eff {scaling_eff:.2f})")
-        except Exception as e:  # pragma: no cover
-            log(f"scaling measurement failed: {e}")
-
-    # The pipeline rate is bounded by its slowest stage (stages overlap
-    # across batches in production; transfers ride PCIe on real hosts).
-    e2e = min(dec_gbps, res_gbps) if res_gbps else dec_gbps
-    result = {
-        "metric": "inflate_GBps_per_chip",
-        "value": round(e2e, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(e2e / 1.0, 4),
-        "decode_GBps": round(dec_gbps, 4),
-        "host_resolve_GBps": round(res_gbps, 4),
-        "tunnel_fetch_MBps": round(fetch_mbps, 1),
-        "device": dev_kind,
-        "streams": n_streams,
-        "block": block,
-        "raw_mb": round(raw_bytes / 1e6, 1),
-        "note": "decode on-chip; LZ77 resolution on host threads; "
-                "stages pipeline across batches",
-    }
-    if scaling_eff is not None:
-        result["n_devices"] = len(jax.devices())
-        result["scaling_eff"] = round(scaling_eff, 3)
-    print(json.dumps(result))
-
+from defl_tpu.bench import main
 
 if __name__ == "__main__":
     main()

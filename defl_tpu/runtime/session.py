@@ -25,6 +25,30 @@ def _bucket(x: int) -> int:
     return b
 
 
+def _pick_decoder():
+    """The token decoder for this process's default backend.
+
+    On TPU the Pallas scan-body kernel (ops/pallas/decode_pl.py) runs the
+    whole lockstep step loop in one Mosaic kernel per chunk — ~2x the
+    XLA formulation, which pays ~15 fused-kernel launches per step.  On
+    CPU (tests) Mosaic is unavailable, so the XLA path is used.  Override
+    with DEFL_DECODE_BACKEND=pl|xla.
+    """
+    import os
+
+    import jax
+
+    from defl_tpu.ops.inflate_batch import decode_tokens
+
+    choice = os.environ.get("DEFL_DECODE_BACKEND", "auto")
+    if choice != "xla" and (choice == "pl"
+                            or jax.devices()[0].platform == "tpu"):
+        from defl_tpu.ops.pallas.decode_pl import decode_tokens_pl
+
+        return decode_tokens_pl
+    return decode_tokens
+
+
 def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
                    dst_capacities=None, chunk_steps: int = 128,
                    resolve: str = "device"):
@@ -37,8 +61,10 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     """
     import jax.numpy as jnp
 
-    from defl_tpu.ops.inflate_batch import STATUS_RUNNING, decode_tokens
+    from defl_tpu.ops.inflate_batch import STATUS_RUNNING
     from defl_tpu.ops.resolve import resolve_tokens
+
+    decode_tokens = _pick_decoder()
 
     n_in = len(streams)
     if n_in == 0:
