@@ -84,6 +84,15 @@ class DistributedCodec:
         """Decode a batch sharded over the mesh; submission-order results.
 
         Returns (results, outputs, stats).
+
+        Single-controller (one process): ``streams`` is the full batch.
+        Multi-controller (``jax.process_count() > 1``, SPMD — every host
+        runs this same call): ``streams`` is THIS host's rows of the
+        host-major global batch (``multihost.local_stream_slice``), every
+        host must pass the same row count, and the returned
+        results/outputs cover only the local rows — input packing and
+        output landing stay host-local, only dict broadcast and psum'd
+        stats cross DCN.  stats["total_bytes"]/"ok_lanes" are global.
         """
         from defl_tpu.ops.inflate_batch import step_budget
         from defl_tpu.runtime.session import _bucket
@@ -95,12 +104,24 @@ class DistributedCodec:
         C = _bucket(max(caps))
         T = step_budget(C)
 
-        # pad N to a multiple of the shard count
-        shards = self.n_shards
+        n_proc = jax.process_count()
+        multi = n_proc > 1
+
+        # pad N to a multiple of the shard count (local shard count when
+        # every host contributes its own rows)
+        shards = self.n_shards // n_proc if multi else self.n_shards
         n_pad = max(shards, ((packed.n + shards - 1) // shards) * shards)
         w_pad = 64
         while w_pad < packed.words.shape[1]:
             w_pad *= 2
+        if multi:
+            # hosts must agree on compiled shapes: take the max over hosts
+            from jax.experimental import multihost_utils
+
+            agreed = multihost_utils.process_allgather(
+                np.array([n_pad, w_pad], np.int64))
+            n_pad = int(agreed[:, 0].max())
+            w_pad = int(agreed[:, 1].max())
         words = np.zeros((n_pad, w_pad), np.uint32)
         words[: packed.n, : packed.words.shape[1]] = packed.words
         nbits = np.pad(packed.nbits, (0, n_pad - packed.n))
@@ -114,23 +135,50 @@ class DistributedCodec:
 
         sharding = mesh_lib.stream_sharding(self.mesh)
         repl = mesh_lib.replicated(self.mesh)
-        dev_args = [jax.device_put(a, sharding)
-                    for a in (words, nbits, zflag, cap)]
-        dev_args.append(jax.device_put(jnp.asarray(dict_words), repl))
+        if multi:
+            # every host contributes its local rows of the host-major
+            # global batch; input bytes never cross DCN
+            gN = n_pad * n_proc
+            dev_args = [jax.make_array_from_process_local_data(
+                            sharding, a, (gN,) + a.shape[1:])
+                        for a in (words, nbits, zflag, cap)]
+            dev_args.append(jax.make_array_from_process_local_data(
+                repl, np.asarray(dict_words),
+                np.asarray(dict_words).shape))
+        else:
+            dev_args = [jax.device_put(a, sharding)
+                        for a in (words, nbits, zflag, cap)]
+            dev_args.append(jax.device_put(jnp.asarray(dict_words), repl))
 
         fn = self._pipeline(T, C, dict_len)
         out, status, dst_pos, bitpos, total, n_ok = fn(*dev_args)
 
-        status = np.asarray(status)[: n_in]
-        dst_pos = np.asarray(dst_pos)[: n_in]
-        out = np.asarray(out)
+        if multi:
+            # only this host's rows are addressable; reassemble them in
+            # global row order (host-major => local submission order)
+            def local_rows(arr):
+                sh = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+                return np.concatenate([np.asarray(s.data) for s in sh])
+
+            status = local_rows(status)[: n_in]
+            dst_pos = local_rows(dst_pos)[: n_in]
+            out = local_rows(out)
+            bitpos_np = local_rows(bitpos)[: n_in]
+        else:
+            status = np.asarray(status)[: n_in]
+            dst_pos = np.asarray(dst_pos)[: n_in]
+            out = np.asarray(out)
+            bitpos_np = np.asarray(bitpos)[: n_in]
         results = [Result(int(s)) if int(s) != 127 else Result.UNFINISHED
                    for s in status]
         outputs = [out[i, : int(dst_pos[i])].tobytes() for i in range(n_in)]
         stats = {
-            "total_bytes": int(total),
-            "ok_lanes": int(n_ok),
-            "bitpos": np.asarray(bitpos)[: n_in],
-            "shards": shards,
+            "total_bytes": int(np.asarray(total.addressable_shards[0].data)
+                               if multi else total),
+            "ok_lanes": int(np.asarray(n_ok.addressable_shards[0].data)
+                            if multi else n_ok),
+            "bitpos": bitpos_np,
+            "shards": self.n_shards,
         }
         return results, outputs, stats
