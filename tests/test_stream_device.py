@@ -62,3 +62,37 @@ def test_efull_resize_resume_device():
     assert res[0] is Result.OK
     _, outs = sess.outputs()
     assert outs[0] == p
+
+
+def test_feed_cost_independent_of_history():
+    """Rebasing must keep the unconsumed backlog (the per-feed repack and
+    upload volume) bounded by the feed size, regardless of how much has
+    streamed through (≙ mem.c:219-232 chunk drop).  Streams ~400KB
+    through a 64KB-window session in 4KB feeds and asserts the retained
+    input never grows with history."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # compressible but non-trivial: repeated 64-byte units + noise
+    parts = []
+    for _ in range(100):
+        unit = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+        parts.append(unit * 60 + rng.integers(0, 256, 256,
+                                              dtype=np.uint8).tobytes())
+    payload = b"".join(parts)[:400_000]
+    s = zlib.compress(payload, 6)
+    sess = DeviceInflateSession(1, 1 << 19)
+
+    feed = 4096
+    max_backlog = 0
+    for off in range(0, len(s), feed):
+        sess.feed([s[off : off + feed]])
+        max_backlog = max(max_backlog, len(sess.bufs[0]))
+    res, outs = sess.outputs()
+    assert res[0] is Result.OK
+    assert outs[0] == payload
+    # backlog stays O(feed), not O(history): all consumed input dropped
+    assert max_backlog <= 4 * feed, max_backlog
+    # the 4-byte adler trailer is never consumed (reference parity:
+    # decode stops at the final block's EOB, SURVEY §2.1)
+    assert sess.input_pos(0) == len(s) - 4
