@@ -161,6 +161,14 @@ def main():
 
     # ---- phase 1: device token decode (compressed bytes -> full token
     # stream, all on-chip; only the per-lane status vector is fetched) ----
+    # DEFL_PROFILE_DIR=<dir> captures a jax.profiler trace of one decode
+    # rep (view with tensorboard / Perfetto — SURVEY §5 tracing row)
+    prof_dir = os.environ.get("DEFL_PROFILE_DIR")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            toks_nt, status, dst_pos = jfn(words, nbits, zflag, cap)
+            np.asarray(status)
+        log(f"profiler trace written to {prof_dir}")
     dec_times = []
     for r in range(reps):
         t0 = time.perf_counter()
@@ -219,20 +227,62 @@ def main():
     if use_host:
         from defl_tpu.runtime.pipeline import pipeline_inflate
 
-        B = int(os.environ.get("DEFL_BENCH_PIPELINE_BATCHES", "4"))
+        B = int(os.environ.get("DEFL_BENCH_PIPELINE_BATCHES", "8"))
 
         def fetch_small(tokens, st):
             dst_pos = np.asarray(st["dst_pos"])   # syncs the decode
             status = np.asarray(st["status"])
             return tn, dst_pos, status, None
 
+        def sink(i, status, out_arr, dst_pos_arr):
+            # consume each batch as it lands (production shape: stream
+            # outputs onward instead of retaining every 512MB batch)
+            n_ok = int((status == 0).sum())
+            k = (i * 131) % n_streams
+            return (n_ok, out_arr[k, : dst_pos_arr[k]].tobytes()
+                    == payloads[k])
+
         per_batch, wall = pipeline_inflate(
-            [streams] * B, block, _fetch=fetch_small)
-        ok_all = all(rb is not None and all(int(x) == 0 for x in rb[0])
-                     for rb in per_batch)
+            [streams] * B, block, sink=sink, _fetch=fetch_small)
+        ok_all = all(v == (n_streams, True) for v in per_batch)
         pipe_gbps = raw_bytes * B / wall / 1e9
         log(f"pipeline: {B} batches in {wall:.2f}s -> {pipe_gbps:.3f} GB/s "
             f"wall (ok={ok_all})")
+
+    # ---- phase 4: 64MB single stream via speculative block-parallel
+    # decode (runtime/large.py) vs the serial C++ engine ----
+    large = {}
+    if use_host and os.environ.get("DEFL_BENCH_LARGE", "1") == "1":
+        from defl_tpu.runtime.large import inflate_large
+        from defl_tpu.runtime.native import native_inflate
+
+        raw64 = b"".join(payloads[:1024])           # 64MB, one stream
+        comp64 = zlib.compress(raw64, 6)
+        t0 = time.perf_counter()
+        r_cpp, out_cpp = native_inflate(comp64, len(raw64))
+        cpp_s = time.perf_counter() - t0
+        stats = {}
+        r_l, out_l = inflate_large(comp64, stats_out=stats)  # warm/compile
+        stats = {}
+        t0 = time.perf_counter()
+        r_l, out_l = inflate_large(comp64, stats_out=stats)
+        wall_s = time.perf_counter() - t0
+        ok64 = int(r_l) == 0 and out_l == raw64 and out_cpp == raw64
+        stage_s = (stats.get("find_s", 0) + stats.get("decode_s", 0)
+                   + stats.get("stitch_s", 0))
+        large = {
+            "large64_cpp_serial_s": round(cpp_s, 3),
+            "large64_device_stage_s": round(stage_s, 3),
+            "large64_device_wall_s": round(wall_s, 3),
+            "large64_fetch_s": round(stats.get("fetch_s", 0), 3),
+            "large64_vs_cpp": round(cpp_s / stage_s, 2) if stage_s else 0,
+            "large64_ok": ok64,
+        }
+        log(f"64MB single stream: C++ {cpp_s:.2f}s | device stages "
+            f"{stage_s:.2f}s (find {stats.get('find_s', 0):.2f} decode "
+            f"{stats.get('decode_s', 0):.2f} stitch "
+            f"{stats.get('stitch_s', 0):.2f}) + tunnel fetch "
+            f"{stats.get('fetch_s', 0):.2f}s; ok={ok64}")
 
     # ---- multi-chip scaling (runs only on real multi-device slices) ----
     scaling_eff = None
@@ -273,6 +323,7 @@ def main():
                 "token fetch excluded as env artifact (14MB/s relay "
                 "tunnel, rate reported; rides PCIe on real hosts)",
     }
+    result.update(large)
     if scaling_eff is not None:
         result["n_devices"] = len(jax.devices())
         result["scaling_eff"] = round(scaling_eff, 3)

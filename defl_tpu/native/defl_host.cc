@@ -880,6 +880,7 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
     uint32_t len = ((v >> 21) & 0x1FF) + 3;
     uint32_t dist = (v & 0x7FFF) + 1;
     int64_t src = p - (int64_t)dist;
+    if (src < -(int64_t)a.dict_len) return;  // malformed token: contain
     if (src < 0) {  // reaches into the shared preset dictionary
       uint32_t from_dict = (uint32_t)(-src);
       if (from_dict > len) from_dict = len;
@@ -919,9 +920,275 @@ void resolve_all(const ResolveArgs& a, int64_t N, int n_threads) {
   for (auto& t : ts) t.join();
 }
 
+// ----------------------------------------- speculative block finder -------
+// Rapidgzip-style re-sync (SURVEY §5 long-sequence row): find dynamic-
+// block headers at arbitrary bit offsets so a single huge stream can be
+// split into device lanes.  Two stages: a cheap bit filter (BTYPE==2,
+// HLIT/HDIST bounds, complete codelen tree) kills ~99.98% of offsets;
+// survivors get a full table-free header decode (codelen expansion,
+// litlen completeness, EOB present).  False positives that survive both
+// are caught later by the chain validation (lane k's end bit must equal
+// lane k+1's start bit).
+
+inline uint64_t bits_at(const uint8_t* src, int64_t bit) {
+  uint64_t v;
+  memcpy(&v, src + (bit >> 3), 8);  // little-endian hosts only
+  return v >> (bit & 7);
+}
+
+// canonical decode without a table (19-symbol codelen alphabet)
+struct MiniCanon {
+  int count[8];
+  int firstcode[8];
+  int offs[8];
+  uint8_t syms[19];
+
+  bool init(const uint8_t* lens, int n) {  // lens values <= 7
+    memset(count, 0, sizeof(count));
+    for (int s = 0; s < n; s++) count[lens[s]]++;
+    int code = 0, idx = 0, left = 1;
+    for (int l = 1; l <= 7; l++) {
+      left = (left << 1) - count[l];
+      if (left < 0) return false;
+      firstcode[l] = code;
+      offs[l] = idx;
+      idx += count[l];
+      code = (code + count[l]) << 1;
+    }
+    if (left != 0) return false;  // demand a complete tree
+    int k[8];
+    memcpy(k, offs, sizeof(k));
+    for (int s = 0; s < n; s++)
+      if (lens[s]) syms[k[lens[s]]++] = (uint8_t)s;
+    return true;
+  }
+  // returns symbol, sets *used; -1 if no code matches
+  int decode(uint32_t peek7, int* used) const {
+    uint32_t rev = bitrev(peek7 & 0x7F, 7);
+    for (int l = 1; l <= 7; l++) {
+      int c = (int)(rev >> (7 - l));
+      if (c - firstcode[l] < count[l] && c >= firstcode[l]) {
+        *used = l;
+        return syms[offs[l] + c - firstcode[l]];
+      }
+    }
+    return -1;
+  }
+};
+
+// full header validation at `bit` (assumed past the cheap filter)
+bool validate_dyn_header(const uint8_t* src, uint64_t srclen, int64_t bit) {
+  uint64_t v = bits_at(src, bit);
+  int hlit = 257 + (int)((v >> 3) & 31);
+  int hdist = 1 + (int)((v >> 8) & 31);
+  int hclen = 4 + (int)((v >> 13) & 15);
+  uint8_t cl[19] = {0};
+  for (int i = 0; i < hclen; i++)
+    cl[kClOrder[i]] = (uint8_t)(bits_at(src, bit + 17 + 3 * i) & 7);
+  MiniCanon mc;
+  if (!mc.init(cl, 19)) return false;
+
+  BitReader b{src + ((bit + 17 + 3 * hclen) >> 3), src + srclen};
+  b.refill();
+  b.drop((int)((bit + 17 + 3 * hclen) & 7));
+  uint8_t lens[320];
+  memset(lens, 0, sizeof(lens));
+  int total = hlit + hdist, i = 0, prev = 0;
+  while (i < total) {
+    b.refill();
+    if (b.n < 14) return false;  // truncated: not usable as a lane start
+    int used;
+    int sym = mc.decode(b.peek(7), &used);
+    if (sym < 0) return false;
+    b.drop(used);
+    if (sym < 16) { lens[i++] = (uint8_t)sym; prev = sym; continue; }
+    int eb = sym == 16 ? 2 : sym == 17 ? 3 : 7;
+    int base = sym == 16 ? 3 : sym == 17 ? 3 : 11;
+    int rep = base + (int)b.peek(eb); b.drop(eb);
+    int val = 0;
+    if (sym == 16) { if (i == 0) return false; val = prev; }
+    else prev = 0;
+    if (i + rep > total) return false;
+    while (rep--) lens[i++] = (uint8_t)val;
+  }
+  if (lens[256] == 0) return false;
+  // litlen tree must be complete (true for every compressor-produced
+  // stream); dist may be incomplete but not oversubscribed
+  int left = 1, dleft = 1;
+  int cnt[16] = {0}, dcnt[16] = {0};
+  for (int s = 0; s < hlit; s++) cnt[lens[s]]++;
+  for (int s = 0; s < hdist; s++) dcnt[lens[hlit + s]]++;
+  for (int l = 1; l <= 15; l++) {
+    left = (left << 1) - cnt[l];
+    dleft = (dleft << 1) - dcnt[l];
+    if (left < 0 || dleft < 0) return false;
+  }
+  return left == 0;
+}
+
+int64_t find_block_start_impl(const uint8_t* src, uint64_t srclen,
+                              int64_t lo, int64_t hi) {
+  // bits_at loads 8 bytes: the deepest header load is at bit+71, so stay
+  // 144 bits clear of the end (the tail is covered by chain fallback)
+  int64_t maxbit = 8 * (int64_t)srclen - 144;
+  if (hi > maxbit) hi = maxbit;
+  for (int64_t bit = lo; bit < hi; bit++) {
+    uint64_t v = bits_at(src, bit);
+    if (((v >> 1) & 3) != 2) continue;                    // BTYPE != 2
+    if (((v >> 3) & 31) > 29 || ((v >> 8) & 31) > 29) continue;
+    int hclen = 4 + (int)((v >> 13) & 15);
+    int cnt[8] = {0};
+    bool bad = false;
+    for (int i = 0; i < hclen; i++)
+      cnt[(bits_at(src, bit + 17 + 3 * i) & 7)]++;
+    int left = 1;
+    for (int l = 1; l <= 7; l++) {
+      left = (left << 1) - cnt[l];
+      if (left < 0) { bad = true; break; }
+    }
+    if (bad || left != 0) continue;                       // codelen Kraft
+    if (validate_dyn_header(src, srclen, bit)) return bit;
+  }
+  return -1;
+}
+
+// ---------------------------------- serial span decode (stitch fallback) --
+// Decode raw-deflate starting at an arbitrary bit position with an
+// existing output prefix as the back-reference window; stop at the first
+// block boundary at/after bit_limit or after the final block.
+int inflate_span_impl(const uint8_t* src, uint64_t srclen, int64_t bit_start,
+                      int64_t bit_limit, uint8_t* dst, uint64_t dstcap,
+                      uint64_t dst_start, uint64_t* dstlen,
+                      int64_t* end_bit) {
+  BitReader b{src + (bit_start >> 3), src + srclen};
+  b.refill();
+  b.drop((int)(bit_start & 7));
+  uint64_t out = dst_start;
+  *dstlen = out;
+  static thread_local Inflater inf;
+  bool final_blk = false;
+  auto cur_bit = [&]() { return 8 * (int64_t)(b.p - src) - (int64_t)b.n; };
+  while (!final_blk) {
+    if (cur_bit() >= bit_limit) break;  // clean block boundary: stop
+    b.refill();
+    if (b.n < 3) { *dstlen = out; *end_bit = cur_bit(); return R_UNFINISHED; }
+    final_blk = b.peek(1); b.drop(1);
+    uint32_t btype = b.peek(2); b.drop(2);
+
+    if (btype == 0) {
+      b.align();
+      b.refill();
+      if (b.n < 32) return R_UNFINISHED;
+      uint32_t len = b.peek(16); b.drop(16);
+      uint32_t nlen = b.peek(16); b.drop(16);
+      if (len != (~nlen & 0xFFFF)) return R_ERR;
+      if (out + len > dstcap) { *dstlen = out; return R_EFULL; }
+      while (len && b.n) { dst[out++] = (uint8_t)b.peek(8); b.drop(8); len--; }
+      if ((uint64_t)(b.end - b.p) < len) return R_UNFINISHED;
+      memcpy(dst + out, b.p, len);
+      b.p += len;
+      out += len;
+      continue;
+    }
+    if (btype == 3) return R_ERR;
+    if (btype == 1) {
+      uint8_t ll[288], dl[32];
+      fixed_lens(ll, dl);
+      if (!build_table(inf.lit, ll, 288) || !build_table(inf.dist, dl, 32))
+        return R_ERR;
+    } else {
+      b.refill();
+      if (b.n < 14) return R_UNFINISHED;
+      int hlit = 257 + (int)b.peek(5); b.drop(5);
+      int hdist = 1 + (int)b.peek(5); b.drop(5);
+      int hclen = 4 + (int)b.peek(4); b.drop(4);
+      if (hlit > 286 || hdist > 30) return R_ERR;
+      uint8_t cl[19] = {0};
+      for (int i = 0; i < hclen; i++) {
+        b.refill();
+        if (b.n < 3) return R_UNFINISHED;
+        cl[kClOrder[i]] = (uint8_t)b.peek(3); b.drop(3);
+      }
+      if (!build_table(inf.clt, cl, 19)) return R_ERR;
+      int total = hlit + hdist, i = 0, prev = 0;
+      memset(inf.lens, 0, sizeof(inf.lens));
+      while (i < total) {
+        int used;
+        int sym = decode_sym(b, inf.clt, &used);
+        if (sym == -2) return R_UNFINISHED;
+        if (sym < 0) return R_ERR;
+        b.drop(used);
+        if (sym < 16) { inf.lens[i++] = (uint8_t)sym; prev = sym; continue; }
+        int rep, val = 0, eb = sym == 16 ? 2 : sym == 17 ? 3 : 7;
+        int base = sym == 16 ? 3 : sym == 17 ? 3 : 11;
+        b.refill();
+        if (b.n < eb) return R_UNFINISHED;
+        rep = base + (int)b.peek(eb); b.drop(eb);
+        if (sym == 16) { if (i == 0) return R_ERR; val = prev; }
+        else prev = 0;
+        if (i + rep > total) return R_ERR;
+        while (rep--) inf.lens[i++] = (uint8_t)val;
+      }
+      if (inf.lens[256] == 0) return R_ERR;
+      if (!build_table(inf.lit, inf.lens, hlit)) return R_ERR;
+      if (!build_table(inf.dist, inf.lens + hlit, hdist)) return R_ERR;
+    }
+    for (;;) {
+      int used;
+      int sym = decode_sym(b, inf.lit, &used);
+      if (sym == -2) { *dstlen = out; return R_UNFINISHED; }
+      if (sym < 0) return R_ERR;
+      b.drop(used);
+      if (sym < 256) {
+        if (out >= dstcap) { *dstlen = out; return R_EFULL; }
+        dst[out++] = (uint8_t)sym;
+        continue;
+      }
+      if (sym == 256) break;
+      if (sym > 285) return R_ERR;
+      int eb = kLenExtra[sym - 257];
+      b.refill();
+      if (b.n < eb) { *dstlen = out; return R_UNFINISHED; }
+      uint32_t length = kLenBase[sym - 257] + b.peek(eb); b.drop(eb);
+      int dsym = decode_sym(b, inf.dist, &used);
+      if (dsym == -2) { *dstlen = out; return R_UNFINISHED; }
+      if (dsym < 0 || dsym > 29) return R_ERR;
+      b.drop(used);
+      eb = kDistExtra[dsym];
+      b.refill();
+      if (b.n < eb) { *dstlen = out; return R_UNFINISHED; }
+      uint32_t distv = kDistBase[dsym] + b.peek(eb); b.drop(eb);
+      if (distv > out) return R_ERR;
+      if (out + length > dstcap) { *dstlen = out; return R_EFULL; }
+      uint8_t* d = dst + out;
+      const uint8_t* s = d - distv;
+      out += length;
+      if (distv >= length) memcpy(d, s, length);
+      else for (uint32_t k = 0; k < length; k++) d[k] = s[k];
+    }
+  }
+  *dstlen = out;
+  // negative end_bit encodes "final block consumed" (stream complete);
+  // non-negative means "stopped at a block boundary at/after bit_limit"
+  *end_bit = final_blk ? -(cur_bit() + 1) : cur_bit();
+  return R_OK;
+}
+
 }  // namespace
 
 extern "C" {
+
+int64_t dt_find_block_start(const uint8_t* src, uint64_t srclen,
+                            int64_t bit_lo, int64_t bit_hi) {
+  return find_block_start_impl(src, srclen, bit_lo, bit_hi);
+}
+
+int dt_inflate_span(const uint8_t* src, uint64_t srclen, int64_t bit_start,
+                    int64_t bit_limit, uint8_t* dst, uint64_t dstcap,
+                    uint64_t dst_start, uint64_t* dstlen, int64_t* end_bit) {
+  return inflate_span_impl(src, srclen, bit_start, bit_limit, dst, dstcap,
+                           dst_start, dstlen, end_bit);
+}
 
 int dt_deflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
                      uint8_t* const* dsts, const uint64_t* dstcaps,

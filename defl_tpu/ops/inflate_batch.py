@@ -524,7 +524,8 @@ def _apply_builds(ck, st):
 # one lockstep step
 # ---------------------------------------------------------------------------
 
-def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
+def _step(st, ck, small, small_base, nbits, cap, limit, dict_len,
+          has_dict):
     s = st["state"]
     N = s.shape[0]
 
@@ -588,6 +589,11 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
 
     # ---- S_BHDR ----
     m = act(s == S_BHDR)
+    # speculative split decode (runtime/large.py): a lane reaching its
+    # bit limit at a block boundary is DONE — its segment is complete
+    at_lim = m & (st["bitpos"] >= limit)
+    m = m & ~at_lim
+    nstate = jnp.where(at_lim, S_DONE, nstate)
     enough = avail >= 3
     bf = peek_i & 1
     bt = (peek_i >> 1) & 3
@@ -869,7 +875,8 @@ def _step(st, ck, small, small_base, nbits, cap, dict_len, has_dict):
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict"))
 def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
-                  dict_len: int = 0, has_dict: bool = False, carry=None):
+                  dict_len: int = 0, has_dict: bool = False, carry=None,
+                  limit=None, start_bit=None):
     """Run the lockstep decoder for up to T steps.
 
     words: uint32 [N, W] packed streams;  nbits/zflag/cap: int32 [N].
@@ -883,10 +890,15 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     successive calls concatenate along axis 0 for resolution.
     """
     N = words.shape[0]
+    if limit is None:
+        limit = jnp.full((N,), 1 << 30, I32)  # never reached
     if carry is None:
         st = _init_scan_state(N)
         ck = _init_chunk_state(N)
         st["state"] = jnp.where(zflag > 0, S_ZHDR, S_BHDR)
+        if start_bit is not None:
+            # split decode: lanes may begin mid-byte (runtime/large.py)
+            st["bitpos"] = jnp.asarray(start_bit, I32)
     else:
         st = {k: carry[k] for k in _init_scan_state(1)}
         ck = {k: carry[k] for k in _init_chunk_state(1)}
@@ -927,7 +939,7 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
             toks = []
             for _u in range(UNROLL):
                 st, (tok, tok2) = _step(st, ck, small, small_base, nbits,
-                                        cap, dict_len, has_dict)
+                                        cap, limit, dict_len, has_dict)
                 toks.append(tok)
                 toks.append(tok2)
             return st, jnp.stack(toks)  # [2*UNROLL, N]
@@ -937,11 +949,12 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
         tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * 2 * K, 0))
         return ci + 1, st, ck, tokbuf
 
-    _, st, ck, tokbuf = jax.lax.while_loop(
+    ci, st, ck, tokbuf = jax.lax.while_loop(
         chunk_active, chunk_body, (jnp.asarray(0, I32), st, ck, tokbuf))
     # return every emitted slot (2 per step): truncating to T would
-    # silently drop tokens from lanes that finish late
-    return tokbuf, {**st, **ck}
+    # silently drop tokens from lanes that finish late.  tok_rows bounds
+    # the occupied rows so callers can fetch only what was written.
+    return tokbuf, {**st, **ck, "tok_rows": ci * 2 * K}
 
 
 def revive_carry(carry, new_cap=None):

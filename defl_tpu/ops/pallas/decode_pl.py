@@ -67,8 +67,8 @@ MINI = 16                    # FIFO refill mini-window (words, 8-aligned)
 # state-pack row indices (i32 [NROWS, R, 128])
 (R_STATE, R_BITPOS, R_FINAL, R_HLIT, R_HDIST, R_HCLEN, R_IDX, R_PREV,
  R_DSTPOS, R_NEEDB, R_RESUME, R_STATUS, R_CLLO, R_CLHI, R_NBITS, R_CAP,
- R_WINWORD) = range(17)
-NROWS = 17
+ R_WINWORD, R_LIMIT) = range(18)
+NROWS = 18
 
 ST_KEYS = ("state", "bitpos", "final", "hlit", "hdist", "hclen", "idx",
            "prev", "dst_pos", "need_build", "resume_state", "status",
@@ -173,6 +173,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         nbits = st_ref[R_NBITS]
         cap = st_ref[R_CAP]
         win_word = st_ref[R_WINWORD]
+        limit = st_ref[R_LIMIT]
         zero = jnp.zeros_like(nbits)
         zu = _bc(zero, U32)
         tabs = (first_ref, cnt_ref, offs_ref, maxlen_ref, syms_ref)
@@ -295,6 +296,11 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
 
                 # ---- S_BHDR ----
                 m = (s == S_BHDR) & ~dry
+                # split decode: reaching the bit limit at a block
+                # boundary completes the lane's segment (runtime/large.py)
+                at_lim = (s == S_BHDR) & (st["bitpos"] >= limit)
+                m = m & ~at_lim
+                nstate = jnp.where(at_lim, S_DONE, nstate)
                 enough = availF >= 3
                 bf = peek_i & 1
                 bt = (peek_i >> 1) & 3
@@ -634,6 +640,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         st_out_ref[R_NBITS] = nbits
         st_out_ref[R_CAP] = cap
         st_out_ref[R_WINWORD] = win_word
+        st_out_ref[R_LIMIT] = limit
 
     return kernel
 
@@ -692,7 +699,7 @@ def _i3(x):
                                              "has_dict", "interpret"))
 def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
                      dict_len: int = 0, has_dict: bool = False, carry=None,
-                     interpret: bool = False):
+                     limit=None, start_bit=None, interpret: bool = False):
     """Pallas-backed twin of ``inflate_batch.decode_tokens``.
 
     Same signature, same carry pytree, same token buffer format — the
@@ -705,11 +712,16 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     N0 = words.shape[0]
     N = -(-N0 // LANE_PAD) * LANE_PAD
+    if carry is not None:
+        carry = {k: v for k, v in carry.items() if k != "tok_rows"}
+    if limit is None:
+        limit = jnp.full((N0,), 1 << 30, I32)  # never reached
     if N != N0:
         words = jnp.pad(words, ((0, N - N0), (0, 0)))
         nbits = jnp.pad(nbits, (0, N - N0))
         zflag = jnp.pad(zflag, (0, N - N0))
         cap = jnp.pad(cap, (0, N - N0))
+        limit = jnp.pad(limit, (0, N - N0), constant_values=1 << 30)
         if carry is not None:
             pad_st = ib._init_scan_state(N - N0)
             pad_ck = ib._init_chunk_state(N - N0)
@@ -723,6 +735,9 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         st = ib._init_scan_state(N)
         ck = ib._init_chunk_state(N)
         st["state"] = jnp.where(zflag > 0, S_ZHDR, S_BHDR)
+        if start_bit is not None:
+            st["bitpos"] = jnp.pad(jnp.asarray(start_bit, I32),
+                                   (0, N - N0))
     else:
         st = {k: carry[k] for k in ib._init_scan_state(1)}
         ck = {k: carry[k] for k in ib._init_chunk_state(1)}
@@ -754,7 +769,7 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
                 st["hdist"], st["hclen"], st["idx"], st["prev"],
                 st["dst_pos"], st["need_build"], st["resume_state"],
                 st["status"], _bc(st["cl_lo"], I32), _bc(st["cl_hi"], I32),
-                nbits, cap, ck["win_word"]]
+                nbits, cap, ck["win_word"], limit]
         st_pk = jnp.stack(rows).reshape(NROWS, R, 128)
         lens3 = _bc(st["lens_pk"], I32).reshape(LENS_WORDS, R, 128)
         win3 = _i3(ck["win"])
@@ -780,10 +795,10 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * 2 * K, 0))
         return ci + 1, st, ck, tokbuf
 
-    _, st, ck, tokbuf = jax.lax.while_loop(
+    ci, st, ck, tokbuf = jax.lax.while_loop(
         chunk_active, chunk_body, (jnp.asarray(0, I32), st, ck, tokbuf))
     if N != N0:
         tokbuf = tokbuf[:, :N0]
         st = {k: v[:N0] if v.ndim == 1 else v[:, :N0] for k, v in st.items()}
         ck = {k: v[:N0] for k, v in ck.items()}
-    return tokbuf, {**st, **ck}
+    return tokbuf, {**st, **ck, "tok_rows": ci * 2 * K}

@@ -1,0 +1,248 @@
+"""Arbitrary-size single-stream inflate via speculative block-parallel decode.
+
+The reference decodes streams of any length with O(1) state but strictly
+serially (`/root/reference/src/infl/infl.c:1507-1675`).  DEFLATE is
+bit-serial, so a single huge stream cannot be lane-parallelised directly;
+the TPU-native answer (SURVEY §5 long-sequence row; rapidgzip/CODAG in
+PAPERS.md) is speculation on block boundaries:
+
+  1. The native block finder (`dt_find_block_start`) scans for dynamic-
+     block headers at arbitrary bit offsets near evenly spaced byte
+     targets (~650 MB/s/core: 3-bit BTYPE filter + codelen-Kraft filter
+     + full table-free header validation).
+  2. Every segment becomes one lane of the lockstep device decoder.
+     Lanes run with `dict_len=32768` — back-references reaching before
+     the segment's start are emitted speculatively (they resolve against
+     the previous segment's output, like a preset dictionary) — and a
+     per-lane `limit` stops each lane at the first block boundary at or
+     past the next segment's start.
+  3. The host stitches: lane k is valid iff it ended exactly at lane
+     k+1's start bit.  Valid segments resolve straight into one output
+     buffer (C++ resolver, `dst_start` window chaining); any gap —
+     false-positive candidate, EFULL, budget exhaustion — is re-decoded
+     serially by `dt_inflate_span` from the last good boundary, and the
+     chain re-synchronises at the next candidate.
+
+A wrong candidate can never corrupt output: it only costs a serial
+re-decode of its segment.  Worst case (no candidates validate) equals
+the serial C++ engine.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from defl_tpu.constants import (
+    ZLIB_CM_DEFLATE,
+    ZLIB_FLAG_FDICT,
+    ZLIB_MAX_CINFO,
+)
+from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
+
+#: target compressed bytes per device lane (≈ one deflate block at zlib-6)
+SEGMENT_BYTES = 24576
+#: per-lane output capacity: speculative segments whose output exceeds
+#: this EFULL out and take the serial-fallback path
+SEGMENT_CAP = 1 << 19
+WINDOW = 32768
+
+
+def _find_candidates(body: np.ndarray, start_bit: int, n_seg: int,
+                     seg_bits: int, n_threads: int = 4) -> list[int]:
+    from defl_tpu.runtime import native
+
+    lib = native.get_lib()
+    nbits = 8 * body.size
+
+    def find(k):
+        lo = start_bit + k * seg_bits
+        return int(native.find_block_start(
+            lib, body, lo, min(lo + 2 * seg_bits, nbits)))
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        hits = list(ex.map(find, range(1, n_seg)))
+    out = [start_bit]
+    for h in hits:
+        if h > out[-1]:
+            out.append(h)
+    return out
+
+
+def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
+                  chunk_steps: int = 128, use_device: bool | None = None,
+                  stats_out: dict | None = None):
+    """One huge stream -> (Result, bytes).  Speculative device-parallel
+    decode when a TPU is present (use_device=None autodetects), serial
+    C++ stitch otherwise.  stats_out (optional dict) receives per-stage
+    seconds: find/decode/fetch/stitch."""
+    import time
+
+    from defl_tpu.runtime import native
+
+    data = bytes(data)
+    zf = bool(flags & FLAG_ZLIB)
+    start = 0
+    if zf:
+        if len(data) < 2:
+            return Result.UNFINISHED, b""
+        cmf, flg = data[0], data[1]
+        if ((cmf & 0xF) != ZLIB_CM_DEFLATE or (cmf >> 4) > ZLIB_MAX_CINFO
+                or ((cmf << 8) | flg) % 31 != 0):
+            return Result.ERR, b""
+        if flg & ZLIB_FLAG_FDICT:
+            return Result.ERR, b""  # preset dict on huge streams: host path
+        start = 2
+
+    if not native.available():
+        from defl_tpu.core.oracle import inflate_oracle
+
+        return inflate_oracle(data, flags, dst_capacity)
+
+    body = np.frombuffer(data, np.uint8)[start:]
+    cap_total = int(dst_capacity) if dst_capacity is not None \
+        else max(16 * body.size, 1 << 20)
+    out = np.zeros(cap_total, np.uint8)
+
+    st = stats_out if stats_out is not None else {}
+    t0 = time.perf_counter()
+    n_seg = max(1, body.size // SEGMENT_BYTES)
+    cands = _find_candidates(body, 0, n_seg, 8 * SEGMENT_BYTES) \
+        if n_seg > 1 else [0]
+    st["find_s"] = time.perf_counter() - t0
+
+    if use_device is None:
+        import jax
+
+        use_device = jax.devices()[0].platform == "tpu"
+    lane_info = None
+    if use_device and len(cands) > 2:
+        lane_info = _device_decode(body, cands, chunk_steps, st)
+
+    t0 = time.perf_counter()
+    r, total, end_bit = _stitch(body, cands, lane_info, out)
+    st["stitch_s"] = time.perf_counter() - t0
+    if r is not Result.OK:
+        return r, out[:total].tobytes()
+
+    if (flags & FLAG_VERIFY_ADLER32) and zf:
+        # 4 big-endian trailer bytes after the byte-aligned final block
+        tb = (end_bit + 7) // 8
+        if tb + 4 > body.size:
+            return Result.UNFINISHED, out[:total].tobytes()
+        stored = int.from_bytes(body[tb : tb + 4].tobytes(), "big")
+        if stored != native.native_adler32(out[:total].tobytes()):
+            return Result.ERR, out[:total].tobytes()
+    return Result.OK, out[:total].tobytes()
+
+
+def _device_decode(body, cands, chunk_steps, stats=None):
+    """Decode every candidate segment as one lockstep lane.  Returns
+    (toks [N, T'], dst_pos, bitpos_global_end, status, words, seg_meta)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from defl_tpu.runtime.session import _pick_decoder
+
+    decode_tokens = _pick_decoder()
+    M = len(cands)
+    seg_bits = []
+    for k in range(M):
+        end = cands[k + 1] if k + 1 < M else 8 * body.size
+        seg_bits.append((cands[k], end))
+
+    # lane packing: byte-aligned slices with a 16-byte tail slack (the
+    # decoder peeks up to 64 bits past its final symbol)
+    byte0 = [b0 // 8 for b0, _ in seg_bits]
+    byte1 = [min(body.size, (b1 + 7) // 8 + 16) for _, b1 in seg_bits]
+    w_bytes = max(b1 - b0 for b0, b1 in zip(byte0, byte1))
+    w_pad = 256
+    while w_pad * 4 < w_bytes + 8:
+        w_pad *= 2
+    N = M
+    words = np.zeros((N, w_pad), np.uint32)
+    wv = words.view(np.uint8)
+    nbits = np.zeros(N, np.int32)
+    limit = np.zeros(N, np.int32)
+    start = np.zeros(N, np.int32)
+    for k, (b0, b1) in enumerate(zip(byte0, byte1)):
+        wv[k, : b1 - b0] = body[b0:b1]
+        nbits[k] = 8 * (b1 - b0)
+        limit[k] = seg_bits[k][1] - 8 * b0
+        start[k] = seg_bits[k][0] - 8 * b0   # candidate bit within byte 0
+
+    T = 3 * w_pad * 4 + 8192   # from the bucketed width: stable compiles
+    t0 = time.perf_counter()
+    toks, st = decode_tokens(
+        jnp.asarray(words), jnp.asarray(nbits),
+        jnp.asarray(np.zeros(N, np.int32)),
+        jnp.asarray(np.full(N, SEGMENT_CAP, np.int32)),
+        T=T, K=chunk_steps, dict_len=WINDOW,
+        limit=jnp.asarray(limit), start_bit=jnp.asarray(start))
+    # fetch only the occupied token rows (bucketed for stable shapes);
+    # the budgeted buffer is sized for worst-case literal density
+    rows = min(toks.shape[0],
+               -(-int(st["tok_rows"]) // 8192) * 8192)
+    if stats is not None:
+        stats["decode_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+    toks_nt = np.asarray(jnp.transpose(toks[:rows]))
+    dst_pos = np.asarray(st["dst_pos"])
+    status = np.asarray(st["status"])
+    final = np.asarray(st["final"])
+    if stats is not None:
+        stats["fetch_s"] = time.perf_counter() - t0
+    bit_end = np.asarray(st["bitpos"]).astype(np.int64) \
+        + 8 * np.asarray(byte0, np.int64)
+    return toks_nt, dst_pos, status, final, bit_end, words
+
+
+def _stitch(body, cands, lane_info, out):
+    """Sequential stitch: resolve valid lanes, span-decode the gaps.
+    Returns (Result, total_bytes, end_bit)."""
+    from defl_tpu.runtime import native
+
+    lib = native.get_lib()
+    nbits = 8 * body.size
+    cur_bit = cands[0]
+    out_pos = 0
+    k = 0
+    M = len(cands)
+    while True:
+        while k < M and cands[k] < cur_bit:
+            k += 1
+        lane_ok = False
+        if lane_info is not None and k < M and cands[k] == cur_bit:
+            toks_nt, dst_pos, status, final, bit_end, words = lane_info
+            want_end = cands[k + 1] if k + 1 < M else None
+            if status[k] == int(Result.OK) and (
+                    final[k] > 0
+                    or (want_end is not None and bit_end[k] == want_end)):
+                lane_ok = True
+        if lane_ok:
+            seg_len = int(dst_pos[k])
+            if out_pos + seg_len > out.size:
+                return Result.EFULL, out_pos, cur_bit
+            native.resolve_tokens_into(
+                lib, toks_nt[k], words[k], out, out_pos, out_pos + seg_len)
+            out_pos += seg_len
+            cur_bit = int(bit_end[k])
+            if final[k] > 0:
+                return Result.OK, out_pos, cur_bit
+            k += 1
+            continue
+        # serial fallback: decode to the next candidate boundary (the
+        # chain re-synchronises there), or to the stream end
+        j = k + 1 if (k < M and cands[k] == cur_bit) else k
+        lim = cands[j] if j < M else 1 << 62
+        r, out_pos, end_bit = native.inflate_span(
+            lib, body, cur_bit, lim, out, out_pos)
+        if r is not Result.OK:
+            return r, out_pos, cur_bit
+        if end_bit < 0:  # final block consumed: complete
+            return Result.OK, out_pos, -(end_bit + 1)
+        if end_bit >= nbits:
+            return Result.UNFINISHED, out_pos, end_bit
+        cur_bit = end_bit

@@ -83,6 +83,14 @@ def get_lib():
                 [ctypes.c_int, ctypes.c_int, ctypes.c_int]
                 if name == "dt_deflate_batch"
                 else [ctypes.c_int, ctypes.c_int])
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_find_block_start.restype = ctypes.c_int64
+        lib.dt_find_block_start.argtypes = [u8p, ctypes.c_uint64,
+                                            ctypes.c_int64, ctypes.c_int64]
+        lib.dt_inflate_span.restype = ctypes.c_int
+        lib.dt_inflate_span.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u64p, i64p]
         _lib = lib
         return _lib
 
@@ -223,3 +231,53 @@ def native_adler32(data: bytes, start: int = 1) -> int:
 def native_crc32(data: bytes, start: int = 0) -> int:
     lib = get_lib()
     return int(lib.dt_crc32(_u8(data), len(data), start))
+
+
+# ---- speculative large-stream helpers (runtime/large.py) ------------------
+
+def _np_u8p(arr):
+    import ctypes as _ct
+
+    return arr.ctypes.data_as(_ct.POINTER(_ct.c_uint8))
+
+
+def find_block_start(lib, body, bit_lo: int, bit_hi: int) -> int:
+    """First validated dynamic-block header bit offset in [bit_lo, bit_hi)
+    of `body` (uint8 ndarray), or -1."""
+    return int(lib.dt_find_block_start(_np_u8p(body), body.size,
+                                       bit_lo, bit_hi))
+
+
+def inflate_span(lib, body, bit_start: int, bit_limit: int, out, out_pos: int):
+    """Serial raw-deflate decode from an arbitrary bit position with
+    out[:out_pos] as the back-reference window; stops at the first block
+    boundary at/after bit_limit or after the final block.
+
+    Returns (Result, new_out_pos, end_bit) — end_bit < 0 encodes
+    "final block consumed" as -(bit + 1)."""
+    dl = ctypes.c_uint64(out_pos)
+    eb = ctypes.c_int64(bit_start)
+    r = lib.dt_inflate_span(_np_u8p(body), body.size, bit_start, bit_limit,
+                            _np_u8p(out), out.size, out_pos,
+                            ctypes.byref(dl), ctypes.byref(eb))
+    return Result(r), int(dl.value), int(eb.value)
+
+
+def resolve_tokens_into(lib, lane_tokens, lane_words, out, start: int,
+                        end: int) -> None:
+    """Resolve one lane's token stream into out[start:end) with
+    out[:start] as its back-reference window (segment chaining)."""
+    import numpy as np
+
+    toks = np.ascontiguousarray(lane_tokens, dtype=np.uint32)
+    words = np.ascontiguousarray(lane_words, dtype=np.uint32)
+    dst_len = np.array([end], np.int32)
+    dst_start = np.array([start], np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.dt_resolve_tokens(
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        1, toks.size,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+        _np_u8p(out), 0,
+        dst_len.ctypes.data_as(i32p), dst_start.ctypes.data_as(i32p),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)), 0, 1)

@@ -33,7 +33,7 @@ from defl_tpu.runtime.pack import pack_streams
 
 def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
                      chunk_steps: int = 128, n_threads: int | None = None,
-                     as_bytes: bool = False, _fetch=None):
+                     as_bytes: bool = False, sink=None, _fetch=None):
     """Decode a sequence of equal-shaped stream batches, overlapped.
 
     stream_batches: list of lists of compressed streams (each inner list
@@ -42,6 +42,10 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     as_bytes: materialise per-stream ``bytes`` objects (copies every
     output once more; the zero-copy default returns the resolved
     ``[N, C]`` array directly).
+    sink: optional ``f(i, status, out, dst_pos) -> value`` consuming each
+    batch as it resolves (per_batch then holds the sink's return values).
+    Use it to stream outputs to their destination instead of retaining
+    every batch's arrays in memory.
     _fetch: test/bench hook — ``f(tokens, st) -> (toks_nt, dst_pos,
     status, bitpos)`` replacing the device→host fetch.
 
@@ -66,18 +70,44 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
 
     fetch = _fetch or default_fetch
 
-    packed = [pack_streams(b, zf, C) for b in stream_batches]
-    dev_in = [(jnp.asarray(p.words), jnp.asarray(p.nbits),
-               jnp.asarray(p.zflag), jnp.asarray(p.dst_cap))
-              for p in packed]
-    for batch in dev_in:            # sync uploads before the timed loop
-        for a in batch:             # (host->device transfers are slow on
-            np.asarray(a.ravel()[0])  # tunneled dev environments)
+    if n_threads is None:
+        import os
+
+        # leave one core for the thread that feeds the device: resolve
+        # saturating every host core starves the device driver and
+        # serialises the stages this pipeline exists to overlap
+        n_threads = max(1, (os.cpu_count() or 2) - 1)
+
+    # pack each distinct batch once (repeated list objects — benchmarks,
+    # replayed batches — share one packing and one device upload)
+    packed_cache = {}
+    packed = []
+    dev_in = []
+    for b in stream_batches:
+        key = id(b)
+        if key not in packed_cache:
+            p = pack_streams(b, zf, C)
+            packed_cache[key] = (p, (jnp.asarray(p.words),
+                                     jnp.asarray(p.nbits),
+                                     jnp.asarray(p.zflag),
+                                     jnp.asarray(p.dst_cap)))
+        p, d = packed_cache[key]
+        packed.append(p)
+        dev_in.append(d)
+    for _, d in packed_cache.values():  # sync uploads before the timed
+        for a in d:                     # loop (host->device transfers are
+            np.asarray(a.ravel()[0])    # slow on tunneled dev envs)
 
     def resolve_one(i, toks_nt, dst_pos, status):
+        t0 = time.perf_counter()
         out = native_resolve_tokens(toks_nt, packed[i].words, dst_pos, C,
                                     n_threads=n_threads)
         n = len(stream_batches[i])
+        if dbg:
+            print(f"  resolve[{i}] {time.perf_counter()-t0:.3f}",
+                  flush=True)
+        if sink is not None:
+            return sink(i, status[:n], out[:n], dst_pos[:n])
         if as_bytes:
             return ([Result(int(s)) for s in status[:n]],
                     [out[k, : int(dst_pos[k])].tobytes() for k in range(n)])
@@ -96,16 +126,26 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     # kernel suffer head-of-line blocking, so interleaving fetch(i) with
     # decode(i+1) dispatch keeps the device busy exactly one batch ahead
     # while the host thread resolves batch i.
+    import os
+
+    dbg = os.environ.get("DEFL_PIPE_DEBUG") == "1"
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = None  # (index, resolve future)
         for i, (w, nb, zfl, cp) in enumerate(dev_in):
+            t1 = time.perf_counter()
             tokens, st = decode_tokens(w, nb, zfl, cp, T=T, K=chunk_steps)
+            t2 = time.perf_counter()
             toks_nt, dst_pos, status, _ = fetch(tokens, st)
+            t3 = time.perf_counter()
             if pending is not None:
                 j, fut = pending
                 per_batch[j] = fut.result()
+            t4 = time.perf_counter()
             pending = (i, ex.submit(resolve_one, i, toks_nt, dst_pos,
                                     status))
+            if dbg:
+                print(f"pipe[{i}] dispatch {t2-t1:.3f} fetch {t3-t2:.3f} "
+                      f"wait {t4-t3:.3f}", flush=True)
         j, fut = pending
         per_batch[j] = fut.result()
     wall = time.perf_counter() - t0

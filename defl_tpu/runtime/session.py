@@ -241,11 +241,39 @@ def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,
                   dst_capacities=None):
     """Public batch decode entry (see api.inflate_batch)."""
     n = len(streams)
-    sizes_ok = all(
-        (len(s) if isinstance(s, (bytes, bytearray)) else
-         sum(len(c) for c in s)) <= MAX_STREAM_BYTES for s in streams)
+    sizes = [len(s) if isinstance(s, (bytes, bytearray)) else
+             sum(len(c) for c in s) for s in streams]
+    big = [i for i, sz in enumerate(sizes) if sz > MAX_STREAM_BYTES]
+    if big and backend in ("auto", "device") and not dictionary:
+        # streams past the per-lane packing limit take the speculative
+        # block-parallel path (runtime/large.py); the rest batch normally
+        from defl_tpu.runtime.large import inflate_large
+
+        big_set = set(big)
+        small_idx = [i for i in range(n) if i not in big_set]
+        small = [streams[i] for i in small_idx]
+        sub_caps = None
+        if dst_capacities is not None:
+            sub_caps = (dst_capacities if np.isscalar(dst_capacities)
+                        else [dst_capacities[i] for i in small_idx])
+        s_res, s_out = batch_inflate(small, flags, backend, dictionary,
+                                     sub_caps) if small else ([], [])
+        results = [None] * n
+        outputs = [b""] * n
+        for j, i in enumerate(small_idx):
+            results[i], outputs[i] = s_res[j], s_out[j]
+        for i in big:
+            cap = None
+            if dst_capacities is not None:
+                cap = (int(dst_capacities) if np.isscalar(dst_capacities)
+                       else int(dst_capacities[i]))
+            data = streams[i] if isinstance(streams[i], (bytes, bytearray)) \
+                else b"".join(bytes(c) for c in streams[i])
+            results[i], outputs[i] = inflate_large(bytes(data), flags, cap)
+        return results, outputs
+
     use_device = backend == "device" or (
-        backend == "auto" and n >= 8 and sizes_ok)
+        backend == "auto" and n >= 8 and not big)
     if use_device:
         # decompressed bytes land host-side here, so the multithreaded C++
         # resolver is the natural pass-2 (bit-exact with the device one)

@@ -1,0 +1,101 @@
+"""Arbitrary-size single-stream decode (runtime/large.py).
+
+The reference handles any-length streams serially (infl.c:1507-1675);
+here huge streams split at speculatively-found block boundaries.  These
+tests cover the native block finder, the span decoder, the serial stitch
+path, and the batch-API routing; the device-lane path needs a TPU
+(DEFL_TEST_TPU=1 — bench exercises it at scale).
+"""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from defl_tpu import bench as B
+from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
+from defl_tpu.runtime import native
+from defl_tpu.runtime.large import SEGMENT_BYTES, _find_candidates, inflate_large
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library unavailable")
+
+
+def _big_payload(mb: int) -> bytes:
+    return b"".join(B.make_silesia_like(mb << 20, 65536))
+
+
+@needs_native
+def test_block_finder_finds_true_chain():
+    raw = _big_payload(2)
+    comp = zlib.compress(raw, 6)
+    body = np.frombuffer(comp, np.uint8)[2:]
+    lib = native.get_lib()
+    # walk the true block chain with the span decoder, checking that every
+    # finder candidate equals a true block boundary
+    n_seg = body.size // SEGMENT_BYTES
+    cands = _find_candidates(body, 0, n_seg, 8 * SEGMENT_BYTES)
+    assert len(cands) > 10
+    out = np.zeros(len(raw) + 64, np.uint8)
+    cur, pos = 0, 0
+    for c in cands[1:8]:   # first few are plenty for the O(n) walk
+        r, pos, end = native.inflate_span(lib, body, cur, c, out, pos)
+        assert r is Result.OK
+        assert end == c, (end, c)   # candidate sits on the true chain
+        cur = end
+
+
+@needs_native
+def test_inflate_large_serial_stitch():
+    raw = _big_payload(4)
+    comp = zlib.compress(raw, 6)
+    r, out = inflate_large(comp, use_device=False)
+    assert r is Result.OK
+    assert out == raw
+
+
+@needs_native
+def test_inflate_large_adler_verify():
+    raw = _big_payload(1)
+    comp = bytearray(zlib.compress(raw, 6))
+    fl = FLAG_ZLIB | FLAG_VERIFY_ADLER32
+    r, out = inflate_large(bytes(comp), fl, use_device=False)
+    assert r is Result.OK and out == raw
+    comp[-1] ^= 0xFF
+    r, _ = inflate_large(bytes(comp), fl, use_device=False)
+    assert r is Result.ERR
+
+
+@needs_native
+def test_inflate_large_efull():
+    raw = _big_payload(1)
+    comp = zlib.compress(raw, 6)
+    r, out = inflate_large(comp, dst_capacity=1000, use_device=False)
+    assert r is Result.EFULL
+    assert raw.startswith(out) and len(out) <= 1000
+
+
+@needs_native
+def test_batch_inflate_routes_big_streams():
+    from defl_tpu.runtime.session import batch_inflate
+
+    big_raw = _big_payload(12)   # ~4.9MB compressed: over the lane limit
+    small_raw = b"small payload " * 100
+    streams = [zlib.compress(small_raw, 6), zlib.compress(big_raw, 6),
+               zlib.compress(small_raw, 6)]
+    # backend="auto" must route the >4MB stream through the large path
+    # (device lanes on TPU, serial stitch elsewhere) without refusing
+    results, outputs = batch_inflate(streams, backend="auto")
+    assert [r for r in results] == [Result.OK] * 3
+    assert outputs == [small_raw, big_raw, small_raw]
+
+
+@pytest.mark.skipif(os.environ.get("DEFL_TEST_TPU") != "1",
+                    reason="device lane path needs a TPU")
+def test_inflate_large_device_lanes():
+    raw = _big_payload(8)
+    comp = zlib.compress(raw, 6)
+    r, out = inflate_large(comp, use_device=True)
+    assert r is Result.OK
+    assert out == raw
