@@ -130,7 +130,7 @@ def main():
         packed.words = wp
     C = block
     T = step_budget(C)
-    K = int(os.environ.get("DEFL_BENCH_K", "128"))
+    K = int(os.environ.get("DEFL_BENCH_K", "256"))
 
     from defl_tpu.runtime.native import available, native_resolve_tokens
 

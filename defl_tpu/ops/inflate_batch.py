@@ -87,9 +87,10 @@ TOK_STORED = 3
 TOK_LIT_PAIR_BIT = 1 << 16
 STORED_MAX_RUN = 256
 
-#: input window length in u32 words; WIN*32 bits must exceed the worst-case
-#: bit consumption of one scan chunk (K steps x 48 bits) plus slack.
-WIN = 256
+#: input window length in u32 words: WIN - SEG words are guaranteed
+#: ahead of a freshly recentred cursor, which must cover one chunk's
+#: consumption (~28 bits/step x K steps).  3 segments feed K=256.
+WIN = 384
 
 
 def step_budget(dst_capacity: int) -> int:
@@ -352,7 +353,17 @@ def _dist_from_sym(dsym, peek, off):
 # between-chunk passes: window refill, lens fold-in, table builds
 # ---------------------------------------------------------------------------
 
-SEG = WIN // 2  # segment width in words; windows cover 2 aligned segments
+SEG = 128  # segment width in words; windows cover WIN//SEG aligned segments
+
+
+#: banded-refill width in segments: the one-hot contraction only reads
+#: this many segments around the slowest active lane instead of the whole
+#: input (HBM traffic per refill drops by S/BAND).  Lanes more than
+#: (BAND-1)*SEG words ahead of the slowest fall outside the band, miss
+#: their window, and idle until it catches up — safe by the
+#: consume-only-on-success invariant, and cheap because total chunk count
+#: is set by the slowest lane anyway.
+BAND = 16
 
 
 def _refill_windows(ck, st, words_lo3, words_hi3):
@@ -363,35 +374,75 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
     pre-split into exact f32 halves tiled as [N, S, SEG]; selecting lane
     n's aligned segment pair is `einsum('ns,nsw->nw')` with a one-hot
     [N, S] — a batched vector-matrix product the MXU executes in
-    microseconds.  Gated to run only when some active lane is past the
-    halfway mark (a mid-chunk overrun merely stalls that lane until the
-    next refill).
+    microseconds.  The contraction runs over a BAND-segment slice
+    starting at the slowest active lane's segment, so each refill reads
+    ~BAND*SEG words per lane, not the whole input.  Gated to run only
+    when some active lane is past the halfway mark (a mid-chunk overrun
+    merely stalls that lane until the next refill).
     """
     S = words_lo3.shape[1]
+    B = min(BAND, S)
 
     def refill(ck):
         seg = jnp.clip((st["bitpos"] >> 5) // SEG, 0, S - 1)
-        s_iota = jnp.arange(S, dtype=I32)[None, :]
-        oh0 = (s_iota == seg[:, None]).astype(jnp.float32)
-        oh1 = (s_iota == jnp.clip(seg + 1, 0, S - 1)[:, None]).astype(
-            jnp.float32)
+        act = st["status"] == STATUS_RUNNING
 
-        def pick(oh):
-            lo = jnp.einsum("ns,nsw->nw", oh, words_lo3,
+        NSEG = WIN // SEG
+
+        def in_band(base):
+            # a lane is servable when its segment and the NSEG-1
+            # following ones sit inside [base, base+B); at the true end
+            # of the input the clamped duplicates are never consumed
+            # (avail-gated)
+            sb = seg - base
+            return (sb >= 0) & ((sb <= B - NSEG)
+                                | ((seg >= S - NSEG + 1) & (sb <= B - 1)))
+
+        # two bands: lanes cluster by consumption rate (e.g. stored-heavy
+        # racers vs literal-dense laggards); one band at the slowest
+        # active lane, one at the slowest lane the first cannot serve
+        s0 = jnp.clip(jnp.min(jnp.where(act, seg, S - 1)), 0,
+                      max(S - B, 0))
+        left1 = act & ~in_band(s0)
+        s1 = jnp.clip(jnp.min(jnp.where(left1, seg, S - 1)), 0,
+                      max(S - B, 0))
+        in0 = in_band(s0)
+        in1 = in_band(s1)
+
+        sub_lo = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(words_lo3, s0, B, axis=1),
+             jax.lax.dynamic_slice_in_dim(words_lo3, s1, B, axis=1)],
+            axis=1)
+        sub_hi = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(words_hi3, s0, B, axis=1),
+             jax.lax.dynamic_slice_in_dim(words_hi3, s1, B, axis=1)],
+            axis=1)
+        segb = jnp.where(in0, seg - s0,
+                         jnp.where(in1, seg - s1 + B, 0))
+        b_iota = jnp.arange(2 * B, dtype=I32)[None, :]
+        band_end = jnp.where(segb < B, B - 1, 2 * B - 1)
+
+        def pick(k):
+            idx = jnp.minimum(segb + k, band_end)
+            oh = (b_iota == idx[:, None]).astype(jnp.float32)
+            lo = jnp.einsum("nb,nbw->nw", oh, sub_lo,
                             preferred_element_type=jnp.float32)
-            hi = jnp.einsum("ns,nsw->nw", oh, words_hi3,
+            hi = jnp.einsum("nb,nbw->nw", oh, sub_hi,
                             preferred_element_type=jnp.float32)
             return (hi.astype(U32) << U32(16)) | lo.astype(U32)
 
-        win = jnp.concatenate([pick(oh0), pick(oh1)], axis=1)
+        win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
         ck = dict(ck)
         ck["win"] = win
-        ck["win_word"] = seg * SEG
+        # unserved lanes get a window position guaranteed to miss their
+        # cursor, so they idle until a later refill's bands reach them
+        ck["win_word"] = jnp.where(in0 | in1, seg * SEG,
+                                   seg * SEG - 2 * WIN)
         return ck
 
     active = st["status"] == STATUS_RUNNING
     loc = (st["bitpos"] >> 5) - ck["win_word"]
-    need = jnp.any(active & ((loc < 0) | (loc > WIN // 2)))
+    need = jnp.any(active & ((loc < 0) | (loc > SEG)))
     return jax.lax.cond(need, refill, lambda c: c, ck)
 
 

@@ -71,7 +71,7 @@ def _find_candidates(body: np.ndarray, start_bit: int, n_seg: int,
 
 
 def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
-                  chunk_steps: int = 128, use_device: bool | None = None,
+                  chunk_steps: int | None = None, use_device: bool | None = None,
                   stats_out: dict | None = None):
     """One huge stream -> (Result, bytes).  Speculative device-parallel
     decode when a TPU is present (use_device=None autodetects), serial
@@ -147,6 +147,8 @@ def _device_decode(body, cands, chunk_steps, stats=None):
     from defl_tpu.runtime.session import _pick_decoder
 
     decode_tokens = _pick_decoder()
+    if chunk_steps is None:
+        chunk_steps = 256 if "pl" in decode_tokens.__name__ else 128
     M = len(cands)
     seg_bits = []
     for k in range(M):

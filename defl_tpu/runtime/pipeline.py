@@ -32,7 +32,8 @@ from defl_tpu.runtime.pack import pack_streams
 
 
 def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
-                     chunk_steps: int = 128, n_threads: int | None = None,
+                     chunk_steps: int | None = None,
+                     n_threads: int | None = None,
                      as_bytes: bool = False, sink=None, _fetch=None):
     """Decode a sequence of equal-shaped stream batches, overlapped.
 
@@ -60,6 +61,8 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     from defl_tpu.runtime.session import _pick_decoder
 
     decode_tokens = _pick_decoder()
+    if chunk_steps is None:
+        chunk_steps = 256 if "pl" in decode_tokens.__name__ else 128
     zf = flags & FLAG_ZLIB
     C = int(dst_capacity)
     T = step_budget(C)

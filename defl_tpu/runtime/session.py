@@ -50,7 +50,7 @@ def _pick_decoder():
 
 
 def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
-                   dst_capacities=None, chunk_steps: int = 128,
+                   dst_capacities=None, chunk_steps: int | None = None,
                    resolve: str = "device"):
     """Batched device decode.  Returns (results, outputs, stats dict).
 
@@ -65,6 +65,10 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     from defl_tpu.ops.resolve import resolve_tokens
 
     decode_tokens = _pick_decoder()
+    if chunk_steps is None:
+        # the Pallas kernel amortises per-chunk driver cost over bigger
+        # chunks; the XLA path (CPU tests) compiles faster at K=128
+        chunk_steps = 256 if "pl" in decode_tokens.__name__ else 128
 
     n_in = len(streams)
     if n_in == 0:
