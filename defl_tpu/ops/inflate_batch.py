@@ -968,6 +968,9 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     # two token slots per step: the step budget is T//2, keeping the
     # token buffer at ~T slots (valid streams emit >=2 tokens per symbol
     # step on average; pathological ones fall back to the host engine)
+    import jax as _jax
+
+    unroll = UNROLL if _jax.default_backend() == "tpu" else 1
     n_steps = max(K, T // 2)
     n_chunks = (n_steps + K - 1) // K
     tokbuf = jnp.zeros((n_chunks * K * 2, N), U32)
@@ -982,20 +985,23 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
         ck, st = _apply_builds(ck, st)
 
         def sbody(st, _):
-            # mini-window prologue, amortised over UNROLL lockstep steps
+            # mini-window prologue, amortised over UNROLL lockstep steps.
+            # CPU uses unroll=1: XLA:CPU's loop fusions duplicate the
+            # producer graph across chained steps, making a 4-step body
+            # ~2000x slower than 4 single-step iterations (measured)
             loc0 = jnp.clip((st["bitpos"] >> 5) - ck["win_word"],
                             0, WIN - SMALL)
             small = _extract_small(ck["win"], loc0)
             small_base = ck["win_word"] + loc0
             toks = []
-            for _u in range(UNROLL):
+            for _u in range(unroll):
                 st, (tok, tok2) = _step(st, ck, small, small_base, nbits,
                                         cap, limit, dict_len, has_dict)
                 toks.append(tok)
                 toks.append(tok2)
-            return st, jnp.stack(toks)  # [2*UNROLL, N]
+            return st, jnp.stack(toks)  # [2*unroll, N]
 
-        st, toks = jax.lax.scan(sbody, st, None, length=K // UNROLL)
+        st, toks = jax.lax.scan(sbody, st, None, length=K // unroll)
         toks = toks.reshape(2 * K, toks.shape[-1])
         tokbuf = jax.lax.dynamic_update_slice(tokbuf, toks, (ci * 2 * K, 0))
         return ci + 1, st, ck, tokbuf
