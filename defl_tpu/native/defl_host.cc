@@ -1068,6 +1068,10 @@ int inflate_span_impl(const uint8_t* src, uint64_t srclen, int64_t bit_start,
   static thread_local Inflater inf;
   bool final_blk = false;
   auto cur_bit = [&]() { return 8 * (int64_t)(b.p - src) - (int64_t)b.n; };
+  // single-exit wrapper: *dstlen reflects bytes decoded on EVERY exit
+  // path (a truncated span must report its partial output, never a
+  // stale length — callers stitch from it)
+  auto run = [&]() -> int {
   while (!final_blk) {
     if (cur_bit() >= bit_limit) break;  // clean block boundary: stop
     b.refill();
@@ -1167,11 +1171,14 @@ int inflate_span_impl(const uint8_t* src, uint64_t srclen, int64_t bit_start,
       else for (uint32_t k = 0; k < length; k++) d[k] = s[k];
     }
   }
-  *dstlen = out;
   // negative end_bit encodes "final block consumed" (stream complete);
   // non-negative means "stopped at a block boundary at/after bit_limit"
   *end_bit = final_blk ? -(cur_bit() + 1) : cur_bit();
   return R_OK;
+  };
+  int r = run();
+  *dstlen = out;
+  return r;
 }
 
 }  // namespace

@@ -575,7 +575,7 @@ def _apply_builds(ck, st):
 # one lockstep step
 # ---------------------------------------------------------------------------
 
-def _step(st, ck, small, small_base, nbits, cap, limit, dict_len,
+def _step(st, ck, small, small_base, nbits, cap, limit, dict_reach,
           has_dict):
     s = st["state"]
     N = s.shape[0]
@@ -812,7 +812,7 @@ def _step(st, ck, small, small_base, nbits, cap, limit, dict_len,
     d_err = is_len & ~d_stall & (
         (found2 & (sym2 > 29)) | (~found2 & (avail2 >= ml2)))
     md = is_len & ~d_stall & ~d_err
-    too_far = md & (dv > dst_pos + dict_len)  # ≙ infl.c:1286
+    too_far = md & (dv > dst_pos + dict_reach)  # ≙ infl.c:1286
     m_full = md & ~too_far & (dst_pos + len_v > cap)
     m_ok = md & ~too_far & ~m_full
     stalled = stalled | d_stall
@@ -888,7 +888,7 @@ def _step(st, ck, small, small_base, nbits, cap, limit, dict_len,
     dv4, deb4 = _dist_from_sym(sym4, peek4, clen4)
     c42 = clen4 + deb4
     m4_ok = (is_len3 & found4 & (c42 <= avail4) & (sym4 <= 29)
-             & (dv4 <= dst_pos + dict_len) & (dst_pos + len3 <= cap))
+             & (dv4 <= dst_pos + dict_reach) & (dst_pos + len3 <= cap))
     token2 = jnp.where(
         m4_ok,
         (U32(TOK_MATCH) << U32(30))
@@ -927,10 +927,14 @@ def _step(st, ck, small, small_base, nbits, cap, limit, dict_len,
 @functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict"))
 def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
                   dict_len: int = 0, has_dict: bool = False, carry=None,
-                  limit=None, start_bit=None):
+                  limit=None, start_bit=None, dict_reach=None):
     """Run the lockstep decoder for up to T steps.
 
     words: uint32 [N, W] packed streams;  nbits/zflag/cap: int32 [N].
+    dict_reach: optional int32 [N] per-lane back-reference reach before
+    position 0 (overrides the static dict_len; used by the speculative
+    split decode where the stream-head lane must have reach 0 so
+    distance-too-far validation matches the serial engines).
     Returns (tokens [T, N] uint32, carry dict).
 
     The returned carry is the complete resumable decoder state — the
@@ -943,6 +947,8 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     N = words.shape[0]
     if limit is None:
         limit = jnp.full((N,), 1 << 30, I32)  # never reached
+    if dict_reach is None:
+        dict_reach = jnp.full((N,), dict_len, I32)
     if carry is None:
         st = _init_scan_state(N)
         ck = _init_chunk_state(N)
@@ -996,7 +1002,7 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
             toks = []
             for _u in range(unroll):
                 st, (tok, tok2) = _step(st, ck, small, small_base, nbits,
-                                        cap, limit, dict_len, has_dict)
+                                        cap, limit, dict_reach, has_dict)
                 toks.append(tok)
                 toks.append(tok2)
             return st, jnp.stack(toks)  # [2*unroll, N]

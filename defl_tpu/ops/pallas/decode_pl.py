@@ -67,8 +67,8 @@ MINI = 16                    # FIFO refill mini-window (words, 8-aligned)
 # state-pack row indices (i32 [NROWS, R, 128])
 (R_STATE, R_BITPOS, R_FINAL, R_HLIT, R_HDIST, R_HCLEN, R_IDX, R_PREV,
  R_DSTPOS, R_NEEDB, R_RESUME, R_STATUS, R_CLLO, R_CLHI, R_NBITS, R_CAP,
- R_WINWORD, R_LIMIT) = range(18)
-NROWS = 18
+ R_WINWORD, R_LIMIT, R_REACH) = range(19)
+NROWS = 19
 
 ST_KEYS = ("state", "bitpos", "final", "hlit", "hdist", "hclen", "idx",
            "prev", "dst_pos", "need_build", "resume_state", "status",
@@ -174,6 +174,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         cap = st_ref[R_CAP]
         win_word = st_ref[R_WINWORD]
         limit = st_ref[R_LIMIT]
+        dict_reach = st_ref[R_REACH]
         zero = jnp.zeros_like(nbits)
         zu = _bc(zero, U32)
         tabs = (first_ref, cnt_ref, offs_ref, maxlen_ref, syms_ref)
@@ -488,7 +489,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
             d_err = is_len & ~d_stall & (
                 (found2 & (sym2 > 29)) | (~found2 & (avail2 >= ml2)))
             md = is_len & ~d_stall & ~d_err
-            too_far = md & (dv > dst_pos + dict_len)   # ≙ infl.c:1286
+            too_far = md & (dv > dst_pos + dict_reach)   # ≙ infl.c:1286
             m_full = md & ~too_far & (dst_pos + len_v > cap)
             m_ok = md & ~too_far & ~m_full
             stalled = stalled | d_stall
@@ -558,7 +559,8 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
             dv4, deb4 = _dist_from_sym(sym4, peek4, clen4)
             c42 = clen4 + deb4
             m4_ok = (is_len3 & found4 & (c42 <= avail4) & (sym4 <= 29)
-                     & (dv4 <= dst_pos + dict_len) & (dst_pos + len3 <= cap))
+                     & (dv4 <= dst_pos + dict_reach)
+                     & (dst_pos + len3 <= cap))
             token2 = jnp.where(
                 m4_ok,
                 (U32(TOK_MATCH) << U32(30))
@@ -641,6 +643,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         st_out_ref[R_CAP] = cap
         st_out_ref[R_WINWORD] = win_word
         st_out_ref[R_LIMIT] = limit
+        st_out_ref[R_REACH] = dict_reach
 
     return kernel
 
@@ -699,7 +702,8 @@ def _i3(x):
                                              "has_dict", "interpret"))
 def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
                      dict_len: int = 0, has_dict: bool = False, carry=None,
-                     limit=None, start_bit=None, interpret: bool = False):
+                     limit=None, start_bit=None, dict_reach=None,
+                     interpret: bool = False):
     """Pallas-backed twin of ``inflate_batch.decode_tokens``.
 
     Same signature, same carry pytree, same token buffer format — the
@@ -716,12 +720,15 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         carry = {k: v for k, v in carry.items() if k != "tok_rows"}
     if limit is None:
         limit = jnp.full((N0,), 1 << 30, I32)  # never reached
+    if dict_reach is None:
+        dict_reach = jnp.full((N0,), dict_len, I32)
     if N != N0:
         words = jnp.pad(words, ((0, N - N0), (0, 0)))
         nbits = jnp.pad(nbits, (0, N - N0))
         zflag = jnp.pad(zflag, (0, N - N0))
         cap = jnp.pad(cap, (0, N - N0))
         limit = jnp.pad(limit, (0, N - N0), constant_values=1 << 30)
+        dict_reach = jnp.pad(dict_reach, (0, N - N0))
         if carry is not None:
             pad_st = ib._init_scan_state(N - N0)
             pad_ck = ib._init_chunk_state(N - N0)
@@ -769,7 +776,7 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
                 st["hdist"], st["hclen"], st["idx"], st["prev"],
                 st["dst_pos"], st["need_build"], st["resume_state"],
                 st["status"], _bc(st["cl_lo"], I32), _bc(st["cl_hi"], I32),
-                nbits, cap, ck["win_word"], limit]
+                nbits, cap, ck["win_word"], limit, dict_reach]
         st_pk = jnp.stack(rows).reshape(NROWS, R, 128)
         lens3 = _bc(st["lens_pk"], I32).reshape(LENS_WORDS, R, 128)
         win3 = _i3(ck["win"])

@@ -101,9 +101,9 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
         return inflate_oracle(data, flags, dst_capacity)
 
     body = np.frombuffer(data, np.uint8)[start:]
+    grow = dst_capacity is None
     cap_total = int(dst_capacity) if dst_capacity is not None \
         else max(16 * body.size, 1 << 20)
-    out = np.zeros(cap_total, np.uint8)
 
     st = stats_out if stats_out is not None else {}
     t0 = time.perf_counter()
@@ -120,8 +120,18 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
     if use_device and len(cands) > 2:
         lane_info = _device_decode(body, cands, chunk_steps, st)
 
+    # Undeclared capacity has grow-on-EFULL semantics (≙ the oracle and
+    # device_inflate fallbacks): only the stitch depends on the output
+    # buffer, so a high-ratio stream retries the stitch alone — the block
+    # find and device decode are reused.
     t0 = time.perf_counter()
-    r, total, end_bit = _stitch(body, cands, lane_info, out)
+    while True:
+        out = np.zeros(cap_total, np.uint8)
+        r, total, end_bit = _stitch(body, cands, lane_info, out)
+        if r is Result.EFULL and grow and cap_total < (1 << 40):
+            cap_total *= 4
+            continue
+        break
     st["stitch_s"] = time.perf_counter() - t0
     if r is not Result.OK:
         return r, out[:total].tobytes()
@@ -176,13 +186,21 @@ def _device_decode(body, cands, chunk_steps, stats=None):
         start[k] = seg_bits[k][0] - 8 * b0   # candidate bit within byte 0
 
     T = 3 * w_pad * 4 + 8192   # from the bucketed width: stable compiles
+    # the stream-head lane has NO window before position 0: its
+    # distance-too-far check must match the serial engines' (a corrupt
+    # distance in the first 32KB errors instead of resolving to garbage);
+    # speculative lanes get the full 32KB reach into the prior segment
+    reach = np.full(N, WINDOW, np.int32)
+    if cands[0] == 0:
+        reach[0] = 0
     t0 = time.perf_counter()
     toks, st = decode_tokens(
         jnp.asarray(words), jnp.asarray(nbits),
         jnp.asarray(np.zeros(N, np.int32)),
         jnp.asarray(np.full(N, SEGMENT_CAP, np.int32)),
         T=T, K=chunk_steps, dict_len=WINDOW,
-        limit=jnp.asarray(limit), start_bit=jnp.asarray(start))
+        limit=jnp.asarray(limit), start_bit=jnp.asarray(start),
+        dict_reach=jnp.asarray(reach))
     # fetch only the occupied token rows (bucketed for stable shapes);
     # the budgeted buffer is sized for worst-case literal density
     rows = min(toks.shape[0],
