@@ -99,3 +99,32 @@ def test_inflate_large_device_lanes():
     r, out = inflate_large(comp, use_device=True)
     assert r is Result.OK
     assert out == raw
+
+
+@needs_native
+def test_inflate_large_grows_without_declared_capacity():
+    # a >16x-ratio stream (zero-heavy) must complete when the caller
+    # declares no capacity: grow-on-EFULL semantics, matching the oracle
+    # and device_inflate fallbacks (round-2 advisor finding)
+    raw = b"\x00" * (40 << 20)            # ~1000:1 under zlib-6
+    comp = zlib.compress(raw, 6)
+    assert len(comp) * 16 < len(raw)      # would EFULL without the retry
+    r, out = inflate_large(comp, use_device=False)
+    assert r is Result.OK
+    assert out == raw
+
+
+@needs_native
+def test_inflate_large_device_rejects_head_distance_too_far():
+    # distances reaching before the true stream start must ERR, even on
+    # the speculative device path where every lane used to get a blanket
+    # 32KB dict reach (round-2 advisor finding).  A preset-dictionary
+    # compress replayed WITHOUT the dictionary makes such a stream.
+    raw = _big_payload(1)[: 400 << 10]
+    zdict = raw[:16384]
+    co = zlib.compressobj(6, zlib.DEFLATED, -15, zdict=zdict)
+    comp = co.compress(raw) + co.flush()
+    r_serial, _ = inflate_large(comp, flags=0, use_device=False)
+    assert r_serial is Result.ERR
+    r_dev, _ = inflate_large(comp, flags=0, use_device=True)
+    assert r_dev is Result.ERR
