@@ -154,6 +154,9 @@ def _init_chunk_state(N):
     return dict(
         win=jnp.zeros((N, WIN), U32),
         win_word=jnp.full((N,), -(10 * WIN), I32),
+        # refill round counter (same value in every lane): rotates the
+        # second band's anchor so no consumption-rate cluster starves
+        rr=jnp.zeros((N,), I32),
         count=jnp.stack([z16, z16, z16], axis=1),   # [N,3,16] CL/LIT/DIST
         first=jnp.stack([z16, z16, z16], axis=1),
         offs=jnp.stack([z16, z16, z16], axis=1),
@@ -400,12 +403,19 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
 
         # two bands: lanes cluster by consumption rate (e.g. stored-heavy
         # racers vs literal-dense laggards); one band at the slowest
-        # active lane, one at the slowest lane the first cannot serve
+        # active lane, one among the lanes the first cannot serve — its
+        # anchor alternates between the slowest and the fastest unserved
+        # lane across refills, so with 3+ rate clusters the middle ones
+        # are reached within a bounded number of refills instead of
+        # starving until the extremes finish
         s0 = jnp.clip(jnp.min(jnp.where(act, seg, S - 1)), 0,
                       max(S - B, 0))
         left1 = act & ~in_band(s0)
-        s1 = jnp.clip(jnp.min(jnp.where(left1, seg, S - 1)), 0,
-                      max(S - B, 0))
+        NSEG0 = WIN // SEG
+        s1_slow = jnp.min(jnp.where(left1, seg, S - 1))
+        s1_fast = jnp.max(jnp.where(left1, seg, 0)) - (B - NSEG0)
+        s1 = jnp.clip(jnp.where((ck["rr"][0] & 1) == 0, s1_slow, s1_fast),
+                      0, max(S - B, 0))
         in0 = in_band(s0)
         in1 = in_band(s1)
 
@@ -434,6 +444,7 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
         win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
         ck = dict(ck)
         ck["win"] = win
+        ck["rr"] = ck["rr"] + 1
         # unserved lanes get a window position guaranteed to miss their
         # cursor, so they idle until a later refill's bands reach them
         ck["win_word"] = jnp.where(in0 | in1, seg * SEG,

@@ -173,6 +173,22 @@ class DistributedCodec:
         results = [Result(int(s)) if int(s) != 127 else Result.UNFINISHED
                    for s in status]
         outputs = [out[i, : int(dst_pos[i])].tobytes() for i in range(n_in)]
+        # lanes that exhausted the device step budget (banded-refill
+        # starvation under adversarial rate spreads, or pathological
+        # block floods) retry on the host engine — valid input must never
+        # surface as UNFINISHED (≙ session.device_inflate's fallback)
+        rerun = [i for i, s in enumerate(status) if int(s) == 127]
+        if rerun:
+            from defl_tpu.runtime.session import _host_fallback
+
+            datas = [bytes(streams[i])
+                     if isinstance(streams[i], (bytes, bytearray))
+                     else b"".join(bytes(c) for c in streams[i])
+                     for i in rerun]
+            for i, (r, o) in zip(rerun, _host_fallback(
+                    datas, [caps[i] for i in rerun], flags,
+                    self.dictionary)):
+                results[i], outputs[i] = r, o
         stats = {
             "total_bytes": int(np.asarray(total.addressable_shards[0].data)
                                if multi else total),

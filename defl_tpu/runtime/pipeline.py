@@ -106,6 +106,24 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
         out = native_resolve_tokens(toks_nt, packed[i].words, dst_pos, C,
                                     n_threads=n_threads)
         n = len(stream_batches[i])
+        # step-budget-exhausted lanes (status 127: adversarial block
+        # floods or banded-refill starvation) retry on the host engine —
+        # valid input must never surface as UNFINISHED
+        rerun = [k for k in range(n) if int(status[k]) == 127]
+        if rerun:
+            from defl_tpu.runtime.native import native_inflate_batch
+
+            rs, os_ = native_inflate_batch(
+                [stream_batches[i][k] if isinstance(
+                    stream_batches[i][k], (bytes, bytearray))
+                 else b"".join(bytes(c) for c in stream_batches[i][k])
+                 for k in rerun], C, flags, n_threads=n_threads)
+            status = np.array(status, copy=True)
+            dst_pos = np.array(dst_pos, copy=True)
+            for j, k in enumerate(rerun):
+                status[k] = int(rs[j])
+                dst_pos[k] = len(os_[j])
+                out[k, : len(os_[j])] = np.frombuffer(os_[j], np.uint8)
         if dbg:
             print(f"  resolve[{i}] {time.perf_counter()-t0:.3f}",
                   flush=True)

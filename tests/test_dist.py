@@ -95,3 +95,27 @@ def test_uneven_batch_padding(codec):
     assert len(res) == 11
     assert all(r is Result.OK for r in res)
     assert all(o == payloads[0] for o in outs)
+
+
+def test_budget_exhaustion_retries_on_host(codec):
+    # a stream of thousands of empty blocks exhausts the device step
+    # budget (status RUNNING); the sharded path must retry it on the
+    # host engine instead of surfacing UNFINISHED (round-2 advisor)
+    from tests.gendata import BitWriter, _fixed_lit_code
+
+    w = BitWriter()
+    for _ in range(3000):
+        w.bits(0, 1).bits(1, 2)
+        w.code(*_fixed_lit_code(256))
+    w.bits(1, 1).bits(1, 2)
+    w.code(*_fixed_lit_code(ord("Z")))
+    w.code(*_fixed_lit_code(256))
+    evil = w.getvalue()
+
+    payload = b"normal stream " * 40
+    # one flags value per call: run everything raw (strip zlib framing)
+    streams = [zlib.compress(payload, 6)[2:-4] for _ in range(7)] + [evil]
+    res, outs, _ = codec.inflate(streams, flags=0, dst_capacities=4096)
+    assert res == [Result.OK] * 8
+    assert outs[:7] == [payload] * 7
+    assert outs[7] == b"Z"
