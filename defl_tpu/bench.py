@@ -296,8 +296,10 @@ def _run():
             return (n_ok, out_arr[k, : dst_pos_arr[k]].tobytes()
                     == payloads[k])
 
+        nt = os.environ.get("DEFL_BENCH_RESOLVE_THREADS")
         per_batch, wall = pipeline_inflate(
-            [streams] * B, block, sink=sink, _fetch=fetch_small)
+            [streams] * B, block, sink=sink, _fetch=fetch_small,
+            n_threads=int(nt) if nt else None)
         ok_all = all(v == (n_streams, True) for v in per_batch)
         pipe_gbps = raw_bytes * B / wall / 1e9
         log(f"pipeline: {B} batches in {wall:.2f}s -> {pipe_gbps:.3f} GB/s "

@@ -847,6 +847,9 @@ struct ResolveArgs {
   uint64_t in_stride;
   uint8_t* out;             // [N, out_stride]
   uint64_t out_stride;
+  uint64_t out_cap;         // usable bytes per lane row (= out_stride for
+                            // strided batches; total buffer size when
+                            // out_stride==0, the single-buffer stitch mode)
   const int32_t* dst_len;   // [N]
   const int32_t* dst_start; // [N] or null: out[0:dst_start) is pre-existing
                             // window content (incremental streaming resolve)
@@ -854,50 +857,146 @@ struct ResolveArgs {
   uint32_t dict_len;
 };
 
+// Overlap-correct match copy with 8-byte overrunning stores (caller
+// guarantees >=32 bytes of slack past d+len inside the lane's row).
+// dist>=8 makes stride-8 word copies overlap-safe directly; 1<dist<8
+// seeds the largest multiple of dist <= 8 byte-wise, then doubles the
+// written region (region copies stay aligned to the pattern period).
+static inline void copy_match_fast(uint8_t* d, const uint8_t* s,
+                                   uint32_t len, uint32_t dist) {
+  uint64_t w;
+  if (dist == 1) {
+    memset(d, s[0], len);
+    return;
+  }
+  if (dist >= 8) {
+    for (uint32_t k = 0; k < len; k += 8) {
+      memcpy(&w, s + k, 8);
+      memcpy(d + k, &w, 8);
+    }
+    return;
+  }
+  uint32_t period = dist * (8 / dist);  // largest multiple of dist <= 8
+  if (len <= period) {
+    for (uint32_t k = 0; k < len; k++) d[k] = s[k];
+    return;
+  }
+  for (uint32_t k = 0; k < period; k++) d[k] = s[k];
+  uint32_t written = period;
+  while (written < len) {
+    uint32_t chunk = written < len - written ? written : len - written;
+    for (uint32_t k = 0; k < chunk; k += 8) {  // [d, d+written) -> tail
+      memcpy(&w, d + k, 8);
+      memcpy(d + written + k, &w, 8);
+    }
+    written += chunk;
+  }
+}
+
+// Exact-semantics token step (tail region / dictionary / malformed
+// containment; the fast loop below handles the bulk).  Returns false to
+// stop the lane (malformed back-reference).
+static inline bool resolve_token_exact(const ResolveArgs& a, uint32_t v,
+                                       const uint8_t* in, uint8_t* out,
+                                       int64_t& p) {
+  uint32_t kind = v >> 30;
+  if (kind == 1) {
+    out[p++] = (uint8_t)v;
+    if (v & (1u << 16)) out[p++] = (uint8_t)(v >> 8);
+    return true;
+  }
+  if (kind == 3) {
+    uint32_t run = ((v >> 22) & 0xFF) + 1;
+    memcpy(out + p, in + (v & 0x3FFFFF), run);
+    p += run;
+    return true;
+  }
+  uint32_t len = ((v >> 21) & 0x1FF) + 3;
+  uint32_t dist = (v & 0x7FFF) + 1;
+  int64_t src = p - (int64_t)dist;
+  if (src < -(int64_t)a.dict_len) return false;  // malformed: contain
+  if (src < 0) {  // reaches into the shared preset dictionary
+    uint32_t from_dict = (uint32_t)(-src);
+    if (from_dict > len) from_dict = len;
+    memcpy(out + p, a.dict + a.dict_len - (uint32_t)(-src), from_dict);
+    p += from_dict;
+    len -= from_dict;
+    src = 0;
+    if (!len) return true;
+  }
+  if (dist >= len) {
+    memcpy(out + p, out + src, len);
+  } else {
+    uint8_t* d = out + p;
+    const uint8_t* s = out + src;
+    for (uint32_t k = 0; k < len; k++) d[k] = s[k];
+  }
+  p += len;
+  return true;
+}
+
 void resolve_lane(const ResolveArgs& a, int64_t n) {
   const uint32_t* tok = a.tokens + n * a.T;
   const uint8_t* in = a.input + n * a.in_stride;
   uint8_t* out = a.out + n * a.out_stride;
-  int64_t want = a.dst_len[n];
+  const int64_t want = a.dst_len[n];
+  const int64_t row_cap = a.out_stride ? (int64_t)a.out_stride
+                                       : (int64_t)a.out_cap;
   int64_t p = a.dst_start ? a.dst_start[n] : 0;
-  for (int64_t t = 0; t < a.T && p < want; t++) {
+  // Fast region: while every possible emission (<=258B match + 32B
+  // overrun slack) stays inside the row, no per-token capacity checks
+  // are needed and all stores may overrun (stale bytes past the current
+  // position are overwritten by later tokens or lie beyond dst_len).
+  const int64_t fast_end =
+      (row_cap - 320 < want ? row_cap - 320 : want);
+  int64_t t = 0;
+  uint64_t w;
+  for (; t < a.T && p < fast_end; t++) {
     uint32_t v = tok[t];
     uint32_t kind = v >> 30;
-    if (kind == 0) continue;
-    if (kind == 1) {  // literal (possibly a pair)
-      out[p++] = (uint8_t)v;
-      if (v & (1u << 16)) out[p++] = (uint8_t)(v >> 8);
+    if (kind == 1) {
+      // a literal token IS its output bytes in LE order: bits[7:0] the
+      // byte, bits[15:8] the pair byte; one unconditional 4B store
+      // (bytes past len are slack, overwritten by the next token)
+      memcpy(out + p, &v, 4);
+      p += 1 + ((v >> 16) & 1);
       continue;
     }
-    if (kind == 3) {  // stored run straight from the input
-      uint32_t run = ((v >> 22) & 0xFF) + 1;
-      uint32_t off = v & 0x3FFFFF;
-      memcpy(out + p, in + off, run);
-      p += run;
-      continue;
-    }
-    // match
-    uint32_t len = ((v >> 21) & 0x1FF) + 3;
-    uint32_t dist = (v & 0x7FFF) + 1;
-    int64_t src = p - (int64_t)dist;
-    if (src < -(int64_t)a.dict_len) return;  // malformed token: contain
-    if (src < 0) {  // reaches into the shared preset dictionary
-      uint32_t from_dict = (uint32_t)(-src);
-      if (from_dict > len) from_dict = len;
-      memcpy(out + p, a.dict + a.dict_len - (uint32_t)(-src), from_dict);
-      p += from_dict;
-      len -= from_dict;
-      src = 0;
-      if (!len) continue;
-    }
-    if (dist >= len) {
-      memcpy(out + p, out + src, len);
-    } else {
-      uint8_t* d = out + p;
+    if (kind == 2) {
+      uint32_t len = ((v >> 21) & 0x1FF) + 3;
+      uint32_t dist = (v & 0x7FFF) + 1;
+      int64_t src = p - (int64_t)dist;
+      if (__builtin_expect(src < 0, 0)) {
+        if (!resolve_token_exact(a, v, in, out, p)) return;
+        continue;
+      }
       const uint8_t* s = out + src;
-      for (uint32_t k = 0; k < len; k++) d[k] = s[k];
+      uint8_t* d = out + p;
+      p += len;
+      if (dist >= 8) {  // stride-8 overrunning copies are overlap-safe
+        memcpy(&w, s, 8);
+        memcpy(d, &w, 8);
+        for (uint32_t k = 8; k < len; k += 8) {
+          memcpy(&w, s + k, 8);
+          memcpy(d + k, &w, 8);
+        }
+      } else {
+        copy_match_fast(d, s, len, dist);
+      }
+      continue;
     }
-    p += len;
+    if (kind == 3) {
+      uint32_t run = ((v >> 22) & 0xFF) + 1;
+      memcpy(out + p, in + (v & 0x3FFFFF), run);
+      p += run;
+    }
+    // kind 0: NOP
+  }
+  // exact tail: per-token capacity semantics, no overruns
+  for (; t < a.T && p < want; t++) {
+    uint32_t v = tok[t];
+    if ((v >> 30) == 0) continue;
+    if (!resolve_token_exact(a, v, in, out, p)) return;
   }
 }
 
@@ -1245,11 +1344,11 @@ int dt_inflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
 
 int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
                       const uint8_t* input, uint64_t in_stride,
-                      uint8_t* out, uint64_t out_stride,
+                      uint8_t* out, uint64_t out_stride, uint64_t out_cap,
                       const int32_t* dst_len, const int32_t* dst_start,
                       const uint8_t* dict, uint32_t dict_len,
                       int n_threads) {
-  ResolveArgs a{tokens, T, input, in_stride, out, out_stride,
+  ResolveArgs a{tokens, T, input, in_stride, out, out_stride, out_cap,
                 dst_len, dst_start, dict, dict_len};
   resolve_all(a, N, n_threads);
   return 0;

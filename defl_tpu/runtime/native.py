@@ -73,7 +73,7 @@ def get_lib():
         lib.dt_resolve_tokens.restype = ctypes.c_int
         lib.dt_resolve_tokens.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int64,
-            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_uint64,
             i32p, i32p, u8p, ctypes.c_uint32, ctypes.c_int]
         for name in ("dt_deflate_batch", "dt_inflate_batch"):
             fn = getattr(lib, name)
@@ -174,7 +174,7 @@ def native_resolve_tokens(tokens, input_words, dst_len, C: int,
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), N, T,
         inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         inputs.strides[0],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C, C,
         dst_len.ctypes.data_as(i32p), start_p,
         _u8(d), len(d), n_threads)
     return out
@@ -278,6 +278,6 @@ def resolve_tokens_into(lib, lane_tokens, lane_words, out, start: int,
         toks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         1, toks.size,
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
-        _np_u8p(out), 0,
+        _np_u8p(out), 0, out.size,
         dst_len.ctypes.data_as(i32p), dst_start.ctypes.data_as(i32p),
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)), 0, 1)

@@ -101,10 +101,21 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
         for a in d:                     # loop (host->device transfers are
             np.asarray(a.ravel()[0])    # slow on tunneled dev envs)
 
+    # One resolve runs at a time (single-worker executor) and sink /
+    # as_bytes modes consume the array before returning, so one
+    # pre-faulted output buffer serves every batch — a fresh 512MB
+    # np.zeros per batch costs ~0.2s of page faults inside the timed loop.
+    reuse_out = sink is not None or as_bytes
+    out_buf = None
+    if reuse_out:
+        out_buf = np.empty((max(p.n for p in packed), C), np.uint8)
+        out_buf[:] = 0  # pre-fault outside the timed loop
+
     def resolve_one(i, toks_nt, dst_pos, status):
         t0 = time.perf_counter()
-        out = native_resolve_tokens(toks_nt, packed[i].words, dst_pos, C,
-                                    n_threads=n_threads)
+        out = native_resolve_tokens(
+            toks_nt, packed[i].words, dst_pos, C, n_threads=n_threads,
+            out=None if out_buf is None else out_buf[: toks_nt.shape[0]])
         n = len(stream_batches[i])
         # step-budget-exhausted lanes (status 127: adversarial block
         # floods or banded-refill starvation) retry on the host engine —
@@ -142,21 +153,30 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
 
     per_batch = [None] * len(stream_batches)
     t0 = time.perf_counter()
-    # Depth-2 double buffer.  The fetch runs on the dispatching thread
-    # BEFORE the next decode is queued: device→host reads behind a queued
-    # kernel suffer head-of-line blocking, so interleaving fetch(i) with
-    # decode(i+1) dispatch keeps the device busy exactly one batch ahead
-    # while the host thread resolves batch i.
+    # Depth-2 double buffer.  Order per iteration:
+    #   fetch(i) -> dispatch decode(i+1) -> wait resolve(i-1) -> submit
+    #   resolve(i)
+    # The fetch must complete before decode(i+1) is queued (device→host
+    # reads behind a queued kernel suffer head-of-line blocking), but
+    # decode(i+1) must be queued BEFORE waiting on resolve(i-1) — the
+    # device would otherwise idle for the resolve remainder every batch
+    # (measured at ~0.3s/batch, the round-2 pipeline's main loss).
     import os
 
     dbg = os.environ.get("DEFL_PIPE_DEBUG") == "1"
+    B = len(dev_in)
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = None  # (index, resolve future)
-        for i, (w, nb, zfl, cp) in enumerate(dev_in):
+        w, nb, zfl, cp = dev_in[0]
+        tokens, st = decode_tokens(w, nb, zfl, cp, T=T, K=chunk_steps)
+        for i in range(B):
             t1 = time.perf_counter()
-            tokens, st = decode_tokens(w, nb, zfl, cp, T=T, K=chunk_steps)
-            t2 = time.perf_counter()
             toks_nt, dst_pos, status, _ = fetch(tokens, st)
+            t2 = time.perf_counter()
+            if i + 1 < B:
+                w, nb, zfl, cp = dev_in[i + 1]
+                tokens, st = decode_tokens(w, nb, zfl, cp, T=T,
+                                           K=chunk_steps)
             t3 = time.perf_counter()
             if pending is not None:
                 j, fut = pending
@@ -165,7 +185,7 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
             pending = (i, ex.submit(resolve_one, i, toks_nt, dst_pos,
                                     status))
             if dbg:
-                print(f"pipe[{i}] dispatch {t2-t1:.3f} fetch {t3-t2:.3f} "
+                print(f"pipe[{i}] fetch {t2-t1:.3f} dispatch {t3-t2:.3f} "
                       f"wait {t4-t3:.3f}", flush=True)
         j, fut = pending
         per_batch[j] = fut.result()
