@@ -369,6 +369,45 @@ SEG = 128  # segment width in words; windows cover WIN//SEG aligned segments
 BAND = 16
 
 
+def _refill_windows_shared(ck, st, body_lo3, body_hi3):
+    """Shared-input window refill: every lane reads the SAME body.
+
+    Used by the speculative split decode (runtime/large.py), where the
+    lanes are segments of one huge stream: per-lane input rows would
+    duplicate the body N times and the banded refill would starve (every
+    lane sits in its own segment region).  Here the one-hot contraction
+    runs over the whole [S, SEG] body — read once per refill, not per
+    lane — and every active lane is always served.
+    """
+    S = body_lo3.shape[0]
+
+    def refill(ck):
+        seg = jnp.clip((st["bitpos"] >> 5) // SEG, 0, S - 1)
+        NSEG = WIN // SEG
+        s_iota = jnp.arange(S, dtype=I32)[None, :]
+
+        def pick(k):
+            idx = jnp.minimum(seg + k, S - 1)
+            oh = (s_iota == idx[:, None]).astype(jnp.float32)
+            lo = jnp.einsum("ns,sw->nw", oh, body_lo3,
+                            preferred_element_type=jnp.float32)
+            hi = jnp.einsum("ns,sw->nw", oh, body_hi3,
+                            preferred_element_type=jnp.float32)
+            return (hi.astype(U32) << U32(16)) | lo.astype(U32)
+
+        win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
+        ck = dict(ck)
+        ck["win"] = win
+        ck["win_word"] = seg * SEG
+        ck["rr"] = ck["rr"] + 1
+        return ck
+
+    active = st["status"] == STATUS_RUNNING
+    loc = (st["bitpos"] >> 5) - ck["win_word"]
+    need = jnp.any(active & ((loc < 0) | (loc > SEG)))
+    return jax.lax.cond(need, refill, lambda c: c, ck)
+
+
 def _refill_windows(ck, st, words_lo3, words_hi3):
     """Recentre lanes' input windows at their bit cursors.
 
@@ -587,7 +626,7 @@ def _apply_builds(ck, st):
 # ---------------------------------------------------------------------------
 
 def _step(st, ck, small, small_base, nbits, cap, limit, dict_reach,
-          has_dict):
+          has_dict, in_base):
     s = st["state"]
     N = s.shape[0]
 
@@ -698,7 +737,10 @@ def _step(st, ck, small, small_base, nbits, cap, limit, dict_reach,
     is_full = m & (space == 0)
     can = m & (space > 0) & (run_avail > 0)
     starv = m & (space > 0) & (run_avail <= 0)
-    off_bytes = (st["bitpos"] >> 3).astype(U32)
+    # offsets are relative to the lane's input base (nonzero only in
+    # shared-input split decode, where bitpos is a global stream
+    # position and the 22-bit token field must stay segment-relative)
+    off_bytes = ((st["bitpos"] >> 3) - in_base).astype(U32)
     token = jnp.where(can,
                       (U32(TOK_STORED) << U32(30))
                       | ((run_avail.astype(U32) - U32(1)) << U32(22))
@@ -935,10 +977,12 @@ def _step(st, ck, small, small_base, nbits, cap, limit, dict_reach,
 # driver
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict"))
+@functools.partial(jax.jit, static_argnames=("T", "K", "dict_len", "has_dict",
+                                             "shared_input"))
 def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
                   dict_len: int = 0, has_dict: bool = False, carry=None,
-                  limit=None, start_bit=None, dict_reach=None):
+                  limit=None, start_bit=None, dict_reach=None,
+                  shared_input: bool = False, in_base=None):
     """Run the lockstep decoder for up to T steps.
 
     words: uint32 [N, W] packed streams;  nbits/zflag/cap: int32 [N].
@@ -946,6 +990,10 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     position 0 (overrides the static dict_len; used by the speculative
     split decode where the stream-head lane must have reach 0 so
     distance-too-far validation matches the serial engines).
+    shared_input: every lane reads the SAME stream (words is [1, W] or
+    [W]); bitpos/start_bit/limit/nbits are then global stream positions
+    and `in_base` (int32 [N], byte units) rebases stored-token offsets
+    to each lane's segment (runtime/large.py split decode).
     Returns (tokens [T, N] uint32, carry dict).
 
     The returned carry is the complete resumable decoder state — the
@@ -955,11 +1003,13 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
     streaming decode exactly where it stopped; token buffers from
     successive calls concatenate along axis 0 for resolution.
     """
-    N = words.shape[0]
+    N = nbits.shape[0]
     if limit is None:
         limit = jnp.full((N,), 1 << 30, I32)  # never reached
     if dict_reach is None:
         dict_reach = jnp.full((N,), dict_len, I32)
+    if in_base is None:
+        in_base = jnp.zeros((N,), I32)
     if carry is None:
         st = _init_scan_state(N)
         ck = _init_chunk_state(N)
@@ -976,11 +1026,22 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     # input pre-split into exact f32 halves, tiled by aligned segment
     # (consumed by the MXU one-hot window refill)
-    W = words.shape[1]
-    S = (W + SEG - 1) // SEG
-    wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
-    words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32).reshape(N, S, SEG)
-    words_hi3 = (wpad >> U32(16)).astype(jnp.float32).reshape(N, S, SEG)
+    if shared_input:
+        body = words.reshape(-1)
+        S = (body.shape[0] + SEG - 1) // SEG
+        bpad = jnp.pad(body, (0, S * SEG - body.shape[0]))
+        words_lo3 = (bpad & U32(0xFFFF)).astype(jnp.float32).reshape(S, SEG)
+        words_hi3 = (bpad >> U32(16)).astype(jnp.float32).reshape(S, SEG)
+        refill_windows = _refill_windows_shared
+    else:
+        W = words.shape[1]
+        S = (W + SEG - 1) // SEG
+        wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
+        words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32) \
+            .reshape(N, S, SEG)
+        words_hi3 = (wpad >> U32(16)).astype(jnp.float32) \
+            .reshape(N, S, SEG)
+        refill_windows = _refill_windows
 
     # two token slots per step: the step budget is T//2, keeping the
     # token buffer at ~T slots (valid streams emit >=2 tokens per symbol
@@ -998,7 +1059,7 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     def chunk_body(carry):
         ci, st, ck, tokbuf = carry
-        ck = _refill_windows(ck, st, words_lo3, words_hi3)
+        ck = refill_windows(ck, st, words_lo3, words_hi3)
         ck, st = _apply_builds(ck, st)
 
         def sbody(st, _):
@@ -1013,7 +1074,8 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
             toks = []
             for _u in range(unroll):
                 st, (tok, tok2) = _step(st, ck, small, small_base, nbits,
-                                        cap, limit, dict_reach, has_dict)
+                                        cap, limit, dict_reach, has_dict,
+                                        in_base)
                 toks.append(tok)
                 toks.append(tok2)
             return st, jnp.stack(toks)  # [2*unroll, N]

@@ -67,8 +67,8 @@ MINI = 16                    # FIFO refill mini-window (words, 8-aligned)
 # state-pack row indices (i32 [NROWS, R, 128])
 (R_STATE, R_BITPOS, R_FINAL, R_HLIT, R_HDIST, R_HCLEN, R_IDX, R_PREV,
  R_DSTPOS, R_NEEDB, R_RESUME, R_STATUS, R_CLLO, R_CLHI, R_NBITS, R_CAP,
- R_WINWORD, R_LIMIT, R_REACH) = range(19)
-NROWS = 19
+ R_WINWORD, R_LIMIT, R_REACH, R_INBASE) = range(20)
+NROWS = 20
 
 ST_KEYS = ("state", "bitpos", "final", "hlit", "hdist", "hclen", "idx",
            "prev", "dst_pos", "need_build", "resume_state", "status",
@@ -175,6 +175,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         win_word = st_ref[R_WINWORD]
         limit = st_ref[R_LIMIT]
         dict_reach = st_ref[R_REACH]
+        in_base = st_ref[R_INBASE]
         zero = jnp.zeros_like(nbits)
         zu = _bc(zero, U32)
         tabs = (first_ref, cnt_ref, offs_ref, maxlen_ref, syms_ref)
@@ -412,7 +413,8 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
                 is_full = m & (space == 0)
                 can = m & (space > 0) & (run_avail > 0)
                 starv = m & (space > 0) & (run_avail <= 0)
-                off_bytes = (st["bitpos"] >> 3).astype(U32)
+                # segment-relative offsets (≙ inflate_batch S_STORED)
+                off_bytes = ((st["bitpos"] >> 3) - in_base).astype(U32)
                 token = jnp.where(
                     can,
                     (U32(TOK_STORED) << U32(30))
@@ -644,6 +646,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         st_out_ref[R_WINWORD] = win_word
         st_out_ref[R_LIMIT] = limit
         st_out_ref[R_REACH] = dict_reach
+        st_out_ref[R_INBASE] = in_base
 
     return kernel
 
@@ -699,10 +702,12 @@ def _i3(x):
 
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "dict_len",
-                                             "has_dict", "interpret"))
+                                             "has_dict", "shared_input",
+                                             "interpret"))
 def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
                      dict_len: int = 0, has_dict: bool = False, carry=None,
                      limit=None, start_bit=None, dict_reach=None,
+                     shared_input: bool = False, in_base=None,
                      interpret: bool = False):
     """Pallas-backed twin of ``inflate_batch.decode_tokens``.
 
@@ -714,7 +719,7 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
     """
     from defl_tpu.ops import inflate_batch as ib
 
-    N0 = words.shape[0]
+    N0 = nbits.shape[0]
     N = -(-N0 // LANE_PAD) * LANE_PAD
     if carry is not None:
         carry = {k: v for k, v in carry.items() if k != "tok_rows"}
@@ -722,13 +727,17 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         limit = jnp.full((N0,), 1 << 30, I32)  # never reached
     if dict_reach is None:
         dict_reach = jnp.full((N0,), dict_len, I32)
+    if in_base is None:
+        in_base = jnp.zeros((N0,), I32)
     if N != N0:
-        words = jnp.pad(words, ((0, N - N0), (0, 0)))
+        if not shared_input:
+            words = jnp.pad(words, ((0, N - N0), (0, 0)))
         nbits = jnp.pad(nbits, (0, N - N0))
         zflag = jnp.pad(zflag, (0, N - N0))
         cap = jnp.pad(cap, (0, N - N0))
         limit = jnp.pad(limit, (0, N - N0), constant_values=1 << 30)
         dict_reach = jnp.pad(dict_reach, (0, N - N0))
+        in_base = jnp.pad(in_base, (0, N - N0))
         if carry is not None:
             pad_st = ib._init_scan_state(N - N0)
             pad_ck = ib._init_chunk_state(N - N0)
@@ -751,12 +760,23 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         ck = dict(ck)
         ck["win_word"] = jnp.full((N,), -(10 * WIN), I32)
 
-    W = words.shape[1]
     SEG = ib.SEG
-    S = (W + SEG - 1) // SEG
-    wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
-    words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32).reshape(N, S, SEG)
-    words_hi3 = (wpad >> U32(16)).astype(jnp.float32).reshape(N, S, SEG)
+    if shared_input:
+        body = words.reshape(-1)
+        S = (body.shape[0] + SEG - 1) // SEG
+        bpad = jnp.pad(body, (0, S * SEG - body.shape[0]))
+        words_lo3 = (bpad & U32(0xFFFF)).astype(jnp.float32).reshape(S, SEG)
+        words_hi3 = (bpad >> U32(16)).astype(jnp.float32).reshape(S, SEG)
+        refill_windows = ib._refill_windows_shared
+    else:
+        W = words.shape[1]
+        S = (W + SEG - 1) // SEG
+        wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
+        words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32) \
+            .reshape(N, S, SEG)
+        words_hi3 = (wpad >> U32(16)).astype(jnp.float32) \
+            .reshape(N, S, SEG)
+        refill_windows = ib._refill_windows
 
     n_steps = max(K, T // 2)
     n_chunks = (n_steps + K - 1) // K
@@ -769,14 +789,14 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     def chunk_body(c):
         ci, st, ck, tokbuf = c
-        ck = ib._refill_windows(ck, st, words_lo3, words_hi3)
+        ck = refill_windows(ck, st, words_lo3, words_hi3)
         ck, st = ib._apply_builds(ck, st)
 
         rows = [st["state"], st["bitpos"], st["final"], st["hlit"],
                 st["hdist"], st["hclen"], st["idx"], st["prev"],
                 st["dst_pos"], st["need_build"], st["resume_state"],
                 st["status"], _bc(st["cl_lo"], I32), _bc(st["cl_hi"], I32),
-                nbits, cap, ck["win_word"], limit, dict_reach]
+                nbits, cap, ck["win_word"], limit, dict_reach, in_base]
         st_pk = jnp.stack(rows).reshape(NROWS, R, 128)
         lens3 = _bc(st["lens_pk"], I32).reshape(LENS_WORDS, R, 128)
         win3 = _i3(ck["win"])

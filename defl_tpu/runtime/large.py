@@ -106,19 +106,36 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
         else max(16 * body.size, 1 << 20)
 
     st = stats_out if stats_out is not None else {}
-    t0 = time.perf_counter()
-    n_seg = max(1, body.size // SEGMENT_BYTES)
-    cands = _find_candidates(body, 0, n_seg, 8 * SEGMENT_BYTES) \
-        if n_seg > 1 else [0]
-    st["find_s"] = time.perf_counter() - t0
-
     if use_device is None:
         import jax
 
         use_device = jax.devices()[0].platform == "tpu"
+
+    body_dev = None
+    n_seg = max(1, body.size // SEGMENT_BYTES)
+    if 8 * body.size >= (1 << 31) - (1 << 22):
+        use_device = False  # global bit cursors are int32: >256MB of
+        #                     compressed body goes through the serial path
+    if use_device and n_seg > 2:
+        # async upload of the shared body overlaps the block find below
+        # (the decoder's shared-input mode reads one [S, SEG] body for
+        # every lane — nothing per-lane ships to the device)
+        import jax
+        import jax.numpy as jnp
+
+        pad = (-body.size) % 4 + 8
+        body_dev = jax.device_put(jnp.asarray(
+            np.concatenate([body, np.zeros(pad, np.uint8)]).view("<u4")))
+
+    t0 = time.perf_counter()
+    cands = _find_candidates(body, 0, n_seg, 8 * SEGMENT_BYTES) \
+        if n_seg > 1 else [0]
+    st["find_s"] = time.perf_counter() - t0
+
     lane_info = None
-    if use_device and len(cands) > 2:
-        lane_info = _device_decode(body, cands, chunk_steps, st)
+    if body_dev is not None and len(cands) > 2:
+        lane_info = _device_decode(body_dev, body.size, cands, chunk_steps,
+                                   st)
 
     # Undeclared capacity has grow-on-EFULL semantics (≙ the oracle and
     # device_inflate fallbacks): only the stitch depends on the output
@@ -147,9 +164,10 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
     return Result.OK, out[:total].tobytes()
 
 
-def _device_decode(body, cands, chunk_steps, stats=None):
-    """Decode every candidate segment as one lockstep lane.  Returns
-    (toks [N, T'], dst_pos, bitpos_global_end, status, words, seg_meta)."""
+def _device_decode(body_dev, body_bytes, cands, chunk_steps, stats=None):
+    """Decode every candidate segment as one lockstep lane against the
+    SHARED device-resident body (one upload, per-lane global bit
+    cursors).  Returns (toks [N, T'], dst_pos, status, final, bit_end)."""
     import time
 
     import jax.numpy as jnp
@@ -160,47 +178,33 @@ def _device_decode(body, cands, chunk_steps, stats=None):
     if chunk_steps is None:
         chunk_steps = 256 if "pl" in decode_tokens.__name__ else 128
     M = len(cands)
-    seg_bits = []
-    for k in range(M):
-        end = cands[k + 1] if k + 1 < M else 8 * body.size
-        seg_bits.append((cands[k], end))
+    start = np.asarray(cands, np.int64)
+    end = np.concatenate([start[1:], [8 * body_bytes]])
+    # step budget from the LONGEST segment (the decoder's chunk loop
+    # exits early once every lane finishes; over-long tail segments that
+    # exhaust it fall back to the serial span decode in the stitch)
+    max_seg_bits = int((end - start).max())
+    T = 16384
+    while T < max_seg_bits // 5 + 8192:
+        T *= 2
 
-    # lane packing: byte-aligned slices with a 16-byte tail slack (the
-    # decoder peeks up to 64 bits past its final symbol)
-    byte0 = [b0 // 8 for b0, _ in seg_bits]
-    byte1 = [min(body.size, (b1 + 7) // 8 + 16) for _, b1 in seg_bits]
-    w_bytes = max(b1 - b0 for b0, b1 in zip(byte0, byte1))
-    w_pad = 256
-    while w_pad * 4 < w_bytes + 8:
-        w_pad *= 2
-    N = M
-    words = np.zeros((N, w_pad), np.uint32)
-    wv = words.view(np.uint8)
-    nbits = np.zeros(N, np.int32)
-    limit = np.zeros(N, np.int32)
-    start = np.zeros(N, np.int32)
-    for k, (b0, b1) in enumerate(zip(byte0, byte1)):
-        wv[k, : b1 - b0] = body[b0:b1]
-        nbits[k] = 8 * (b1 - b0)
-        limit[k] = seg_bits[k][1] - 8 * b0
-        start[k] = seg_bits[k][0] - 8 * b0   # candidate bit within byte 0
-
-    T = 3 * w_pad * 4 + 8192   # from the bucketed width: stable compiles
     # the stream-head lane has NO window before position 0: its
     # distance-too-far check must match the serial engines' (a corrupt
     # distance in the first 32KB errors instead of resolving to garbage);
     # speculative lanes get the full 32KB reach into the prior segment
-    reach = np.full(N, WINDOW, np.int32)
+    reach = np.full(M, WINDOW, np.int32)
     if cands[0] == 0:
         reach[0] = 0
     t0 = time.perf_counter()
     toks, st = decode_tokens(
-        jnp.asarray(words), jnp.asarray(nbits),
-        jnp.asarray(np.zeros(N, np.int32)),
-        jnp.asarray(np.full(N, SEGMENT_CAP, np.int32)),
-        T=T, K=chunk_steps, dict_len=WINDOW,
-        limit=jnp.asarray(limit), start_bit=jnp.asarray(start),
-        dict_reach=jnp.asarray(reach))
+        body_dev, jnp.full((M,), 8 * body_bytes, jnp.int32),
+        jnp.zeros((M,), jnp.int32),
+        jnp.full((M,), SEGMENT_CAP, jnp.int32),
+        T=T, K=chunk_steps, dict_len=WINDOW, shared_input=True,
+        limit=jnp.asarray(end.astype(np.int32)),
+        start_bit=jnp.asarray(start.astype(np.int32)),
+        dict_reach=jnp.asarray(reach),
+        in_base=jnp.asarray((start // 8).astype(np.int32)))
     # fetch only the occupied token rows (bucketed for stable shapes);
     # the budgeted buffer is sized for worst-case literal density
     rows = min(toks.shape[0],
@@ -214,9 +218,8 @@ def _device_decode(body, cands, chunk_steps, stats=None):
     final = np.asarray(st["final"])
     if stats is not None:
         stats["fetch_s"] = time.perf_counter() - t0
-    bit_end = np.asarray(st["bitpos"]).astype(np.int64) \
-        + 8 * np.asarray(byte0, np.int64)
-    return toks_nt, dst_pos, status, final, bit_end, words
+    bit_end = np.asarray(st["bitpos"]).astype(np.int64)
+    return toks_nt, dst_pos, status, final, bit_end
 
 
 def _stitch(body, cands, lane_info, out):
@@ -235,7 +238,7 @@ def _stitch(body, cands, lane_info, out):
             k += 1
         lane_ok = False
         if lane_info is not None and k < M and cands[k] == cur_bit:
-            toks_nt, dst_pos, status, final, bit_end, words = lane_info
+            toks_nt, dst_pos, status, final, bit_end = lane_info
             want_end = cands[k + 1] if k + 1 < M else None
             if status[k] == int(Result.OK) and (
                     final[k] > 0
@@ -246,7 +249,8 @@ def _stitch(body, cands, lane_info, out):
             if out_pos + seg_len > out.size:
                 return Result.EFULL, out_pos, cur_bit
             native.resolve_tokens_into(
-                lib, toks_nt[k], words[k], out, out_pos, out_pos + seg_len)
+                lib, toks_nt[k], body[cands[k] >> 3 :], out, out_pos,
+                out_pos + seg_len)
             out_pos += seg_len
             cur_bit = int(bit_end[k])
             if final[k] > 0:

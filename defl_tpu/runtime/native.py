@@ -263,21 +263,23 @@ def inflate_span(lib, body, bit_start: int, bit_limit: int, out, out_pos: int):
     return Result(r), int(dl.value), int(eb.value)
 
 
-def resolve_tokens_into(lib, lane_tokens, lane_words, out, start: int,
+def resolve_tokens_into(lib, lane_tokens, lane_input, out, start: int,
                         end: int) -> None:
     """Resolve one lane's token stream into out[start:end) with
-    out[:start] as its back-reference window (segment chaining)."""
+    out[:start] as its back-reference window (segment chaining).
+    lane_input: the lane's compressed bytes (stored-run source), any
+    dtype — read as raw bytes at the lane's token-offset base."""
     import numpy as np
 
     toks = np.ascontiguousarray(lane_tokens, dtype=np.uint32)
-    words = np.ascontiguousarray(lane_words, dtype=np.uint32)
+    inp = np.ascontiguousarray(lane_input)
     dst_len = np.array([end], np.int32)
     dst_start = np.array([start], np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.dt_resolve_tokens(
         toks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         1, toks.size,
-        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
         _np_u8p(out), 0, out.size,
         dst_len.ctypes.data_as(i32p), dst_start.ctypes.data_as(i32p),
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)), 0, 1)

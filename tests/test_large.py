@@ -128,3 +128,14 @@ def test_inflate_large_device_rejects_head_distance_too_far():
     assert r_serial is Result.ERR
     r_dev, _ = inflate_large(comp, flags=0, use_device=True)
     assert r_dev is Result.ERR
+
+
+@needs_native
+def test_inflate_large_shared_input_device_path():
+    # the shared-body split decode (one upload, global bit cursors, lane
+    # stitch) must be byte-exact on the XLA backend too
+    raw = _big_payload(2)
+    comp = zlib.compress(raw, 6)
+    r, out = inflate_large(comp, use_device=True)
+    assert r is Result.OK
+    assert out == raw
