@@ -1131,22 +1131,38 @@ int64_t find_block_start_impl(const uint8_t* src, uint64_t srclen,
   // 144 bits clear of the end (the tail is covered by chain fallback)
   int64_t maxbit = 8 * (int64_t)srclen - 144;
   if (hi > maxbit) hi = maxbit;
-  for (int64_t bit = lo; bit < hi; bit++) {
-    uint64_t v = bits_at(src, bit);
-    if (((v >> 1) & 3) != 2) continue;                    // BTYPE != 2
-    if (((v >> 3) & 31) > 29 || ((v >> 8) & 31) > 29) continue;
-    int hclen = 4 + (int)((v >> 13) & 15);
-    int cnt[8] = {0};
-    bool bad = false;
-    for (int i = 0; i < hclen; i++)
-      cnt[(bits_at(src, bit + 17 + 3 * i) & 7)]++;
-    int left = 1;
-    for (int l = 1; l <= 7; l++) {
-      left = (left << 1) - cnt[l];
-      if (left < 0) { bad = true; break; }
+  // Batch pre-filter: one 64-bit window yields a candidate mask for 40
+  // positions at once (BTYPE==2 means bit i+1 == 0 and bit i+2 == 1, so
+  // mask = ~(w>>1) & (w>>2); only ~25% of positions survive), and the
+  // 17-bit fixed header fields are still in-register for every survivor
+  // (i <= 40 keeps i+16 inside the window).  The 3*hclen codelen field
+  // block (<=57 bits) is ONE further load; its Kraft histogram runs in
+  // registers.  Net: ~1 cycle/position + ~25 cycles/candidate, ~30x the
+  // naive per-bit loop that re-loaded 8 bytes per codelen field.
+  for (int64_t base = lo; base < hi; base += 40) {
+    uint64_t w = bits_at(src, base);
+    uint64_t m = ~(w >> 1) & (w >> 2) & ((UINT64_C(1) << 40) - 1);
+    int64_t room = hi - base;
+    if (room < 40) m &= (UINT64_C(1) << room) - 1;
+    while (m) {
+      int i = __builtin_ctzll(m);
+      m &= m - 1;
+      uint64_t v = w >> i;
+      if (((v >> 3) & 31) > 29 || ((v >> 8) & 31) > 29) continue;
+      int64_t bit = base + i;
+      int hclen = 4 + (int)((v >> 13) & 15);
+      uint64_t h = bits_at(src, bit + 17);  // all 3*hclen fields (<=57b)
+      int cnt[8] = {0};
+      for (int f = 0; f < hclen; f++) { cnt[h & 7]++; h >>= 3; }
+      int left = 1;
+      bool bad = false;
+      for (int l = 1; l <= 7; l++) {
+        left = (left << 1) - cnt[l];
+        if (left < 0) { bad = true; break; }
+      }
+      if (bad || left != 0) continue;                     // codelen Kraft
+      if (validate_dyn_header(src, srclen, bit)) return bit;
     }
-    if (bad || left != 0) continue;                       // codelen Kraft
-    if (validate_dyn_header(src, srclen, bit)) return bit;
   }
   return -1;
 }
@@ -1280,6 +1296,85 @@ int inflate_span_impl(const uint8_t* src, uint64_t srclen, int64_t bit_start,
   return r;
 }
 
+// ------------------------------------------------ one-call lane stitch ----
+// The whole speculative-chain stitch (runtime/large.py) in one native
+// call: walk the candidate chain, resolve each validated lane's token
+// row into the shared output (its window = everything stitched so far),
+// and serially span-decode any gap (false-positive candidate / EFULL /
+// budget-exhausted lane) until the chain re-synchronises at the next
+// candidate.  Replaces ~1000 per-lane ctypes round-trips per 64MB.
+int stitch_impl(const uint8_t* body, uint64_t body_len,
+                const int64_t* cands, int64_t M,
+                const uint32_t* toks, int64_t T,
+                const int32_t* dst_pos, const int32_t* status,
+                const int32_t* final_flags, const int64_t* bit_end,
+                uint8_t* out, uint64_t out_cap,
+                uint64_t* total_out, int64_t* end_bit_out) {
+  const int64_t nbits = 8 * (int64_t)body_len;
+  int64_t cur_bit = M ? cands[0] : 0;
+  uint64_t out_pos = 0;
+  int64_t k = 0;
+  *total_out = 0;
+  *end_bit_out = cur_bit;
+  for (;;) {
+    while (k < M && cands[k] < cur_bit) k++;
+    bool lane_ok = false;
+    if (toks && k < M && cands[k] == cur_bit && status[k] == 0) {
+      bool at_seam = (k + 1 < M) && bit_end[k] == cands[k + 1];
+      lane_ok = final_flags[k] > 0 || at_seam;
+    }
+    // resolve_lane's cursors are int32: outputs past 2GB take the span
+    // path for the remainder (the grow-on-EFULL loop retries above 1TB)
+    if (lane_ok && out_pos + (uint64_t)dst_pos[k] < (UINT64_C(1) << 31)) {
+      uint64_t seg = (uint64_t)dst_pos[k];
+      if (out_pos + seg > out_cap) {
+        *total_out = out_pos;
+        *end_bit_out = cur_bit;
+        return R_EFULL;
+      }
+      int32_t lane_end = (int32_t)(out_pos + seg);
+      int32_t lane_start = (int32_t)out_pos;
+      ResolveArgs a{toks + k * T, T, body + (cands[k] >> 3), 0,
+                    out, 0, out_cap, &lane_end, &lane_start, nullptr, 0};
+      resolve_lane(a, 0);
+      out_pos += seg;
+      cur_bit = bit_end[k];
+      if (final_flags[k] > 0) {
+        *total_out = out_pos;
+        *end_bit_out = cur_bit;
+        return R_OK;
+      }
+      k++;
+      continue;
+    }
+    // serial fallback: decode to the next candidate boundary (the chain
+    // re-synchronises there), or to the stream end
+    int64_t j = (k < M && cands[k] == cur_bit) ? k + 1 : k;
+    int64_t lim = j < M ? cands[j] : (int64_t)1 << 62;
+    uint64_t dstlen = out_pos;
+    int64_t eb = cur_bit;
+    int r = inflate_span_impl(body, body_len, cur_bit, lim, out, out_cap,
+                              out_pos, &dstlen, &eb);
+    out_pos = dstlen;
+    if (r != R_OK) {
+      *total_out = out_pos;
+      *end_bit_out = cur_bit;
+      return r;
+    }
+    if (eb < 0) {  // final block consumed: stream complete
+      *total_out = out_pos;
+      *end_bit_out = -(eb + 1);
+      return R_OK;
+    }
+    if (eb >= nbits) {
+      *total_out = out_pos;
+      *end_bit_out = eb;
+      return R_UNFINISHED;
+    }
+    cur_bit = eb;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1287,6 +1382,18 @@ extern "C" {
 int64_t dt_find_block_start(const uint8_t* src, uint64_t srclen,
                             int64_t bit_lo, int64_t bit_hi) {
   return find_block_start_impl(src, srclen, bit_lo, bit_hi);
+}
+
+int dt_stitch(const uint8_t* body, uint64_t body_len,
+              const int64_t* cands, int64_t M,
+              const uint32_t* toks, int64_t T,
+              const int32_t* dst_pos, const int32_t* status,
+              const int32_t* final_flags, const int64_t* bit_end,
+              uint8_t* out, uint64_t out_cap,
+              uint64_t* total_out, int64_t* end_bit_out) {
+  return stitch_impl(body, body_len, cands, M, toks, T, dst_pos, status,
+                     final_flags, bit_end, out, out_cap, total_out,
+                     end_bit_out);
 }
 
 int dt_inflate_span(const uint8_t* src, uint64_t srclen, int64_t bit_start,

@@ -389,10 +389,18 @@ def _refill_windows_shared(ck, st, body_lo3, body_hi3):
         def pick(k):
             idx = jnp.minimum(seg + k, S - 1)
             oh = (s_iota == idx[:, None]).astype(jnp.float32)
+            # HIGHEST is required: this is a plain [N,S]x[S,SEG] matmul,
+            # and default dot precision truncates the 16-bit operand
+            # halves to bf16 (8 mantissa bits) — every word of every
+            # window silently corrupted.  The per-lane batched einsum in
+            # _refill_windows lowers to mul+reduce and dodges this; a
+            # plain dot does not.
             lo = jnp.einsum("ns,sw->nw", oh, body_lo3,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             hi = jnp.einsum("ns,sw->nw", oh, body_hi3,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             return (hi.astype(U32) << U32(16)) | lo.astype(U32)
 
         win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
@@ -474,10 +482,15 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
         def pick(k):
             idx = jnp.minimum(segb + k, band_end)
             oh = (b_iota == idx[:, None]).astype(jnp.float32)
+            # HIGHEST: exactness must not depend on how XLA lowers the
+            # contraction (a dot would bf16-truncate the 16-bit halves;
+            # see _refill_windows_shared)
             lo = jnp.einsum("nb,nbw->nw", oh, sub_lo,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             hi = jnp.einsum("nb,nbw->nw", oh, sub_hi,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             return (hi.astype(U32) << U32(16)) | lo.astype(U32)
 
         win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)

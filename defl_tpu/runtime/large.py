@@ -136,6 +136,15 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
     if body_dev is not None and len(cands) > 2:
         lane_info = _device_decode(body_dev, body.size, cands, chunk_steps,
                                    st)
+        # observability: how many speculative lanes validated (status OK
+        # and ended exactly on the next candidate / final).  The stitch
+        # span-decodes any gap, so a broken device path silently degrades
+        # to serial speed — this stat makes that visible and testable.
+        _, dst_pos, status, final, bit_end = lane_info
+        nxt = np.concatenate([np.asarray(cands[1:], np.int64), [-1]])
+        st["lanes_valid"] = int(((status == 0)
+                                 & ((final > 0) | (bit_end == nxt))).sum())
+        st["lanes"] = len(cands)
 
     # Undeclared capacity has grow-on-EFULL semantics (≙ the oracle and
     # device_inflate fallbacks): only the stitch depends on the output
@@ -223,50 +232,10 @@ def _device_decode(body_dev, body_bytes, cands, chunk_steps, stats=None):
 
 
 def _stitch(body, cands, lane_info, out):
-    """Sequential stitch: resolve valid lanes, span-decode the gaps.
-    Returns (Result, total_bytes, end_bit)."""
+    """Stitch the speculative chain: resolve valid lanes, span-decode the
+    gaps.  Returns (Result, total_bytes, end_bit).  One native call
+    (dt_stitch) walks the whole chain — per-lane ctypes round-trips from
+    Python used to dominate this stage at ~1000 lanes per 64MB."""
     from defl_tpu.runtime import native
 
-    lib = native.get_lib()
-    nbits = 8 * body.size
-    cur_bit = cands[0]
-    out_pos = 0
-    k = 0
-    M = len(cands)
-    while True:
-        while k < M and cands[k] < cur_bit:
-            k += 1
-        lane_ok = False
-        if lane_info is not None and k < M and cands[k] == cur_bit:
-            toks_nt, dst_pos, status, final, bit_end = lane_info
-            want_end = cands[k + 1] if k + 1 < M else None
-            if status[k] == int(Result.OK) and (
-                    final[k] > 0
-                    or (want_end is not None and bit_end[k] == want_end)):
-                lane_ok = True
-        if lane_ok:
-            seg_len = int(dst_pos[k])
-            if out_pos + seg_len > out.size:
-                return Result.EFULL, out_pos, cur_bit
-            native.resolve_tokens_into(
-                lib, toks_nt[k], body[cands[k] >> 3 :], out, out_pos,
-                out_pos + seg_len)
-            out_pos += seg_len
-            cur_bit = int(bit_end[k])
-            if final[k] > 0:
-                return Result.OK, out_pos, cur_bit
-            k += 1
-            continue
-        # serial fallback: decode to the next candidate boundary (the
-        # chain re-synchronises there), or to the stream end
-        j = k + 1 if (k < M and cands[k] == cur_bit) else k
-        lim = cands[j] if j < M else 1 << 62
-        r, out_pos, end_bit = native.inflate_span(
-            lib, body, cur_bit, lim, out, out_pos)
-        if r is not Result.OK:
-            return r, out_pos, cur_bit
-        if end_bit < 0:  # final block consumed: complete
-            return Result.OK, out_pos, -(end_bit + 1)
-        if end_bit >= nbits:
-            return Result.UNFINISHED, out_pos, end_bit
-        cur_bit = end_bit
+    return native.stitch(native.get_lib(), body, cands, lane_info, out)

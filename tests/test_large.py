@@ -133,9 +133,17 @@ def test_inflate_large_device_rejects_head_distance_too_far():
 @needs_native
 def test_inflate_large_shared_input_device_path():
     # the shared-body split decode (one upload, global bit cursors, lane
-    # stitch) must be byte-exact on the XLA backend too
+    # stitch) must be byte-exact on the XLA backend too — AND most lanes
+    # must actually validate: the stitch span-decodes any gap, so a dead
+    # device path silently degrades to serial speed.  (Round 3 found
+    # exactly that: default einsum precision bf16-truncated every window
+    # word of the shared refill and 100% of lanes ERRed, masked by the
+    # fallback.)
     raw = _big_payload(2)
     comp = zlib.compress(raw, 6)
-    r, out = inflate_large(comp, use_device=True)
+    stats = {}
+    r, out = inflate_large(comp, use_device=True, stats_out=stats)
     assert r is Result.OK
     assert out == raw
+    assert stats.get("lanes", 0) > 10
+    assert stats["lanes_valid"] >= 0.8 * stats["lanes"], stats

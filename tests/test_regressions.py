@@ -13,6 +13,7 @@ Covers:
 
 import zlib
 
+import numpy as np
 import pytest
 
 from defl_tpu.core.oracle import inflate_oracle
@@ -116,3 +117,36 @@ def test_native_adler_verify():
     assert r is Result.ERR
     r, _ = native.native_inflate(bytes(comp[:-2]), len(data), flags=fl)
     assert r is Result.UNFINISHED
+
+
+def test_shared_refill_window_words_exact():
+    # the shared-input refill's one-hot contraction is a plain matmul;
+    # at default precision XLA truncates the 16-bit word halves to bf16
+    # and silently corrupts every window word (round-3 regression: 100%
+    # of split-decode lanes ERRed ~8 bits in, masked by the span
+    # fallback).  Windows must reproduce the body words bit-exactly.
+    import jax.numpy as jnp
+
+    from defl_tpu.ops import inflate_batch as ib
+
+    rng = np.random.default_rng(0)
+    W = 220_000
+    body = rng.integers(0, 1 << 32, W, dtype=np.uint32)
+    S = (W + ib.SEG - 1) // ib.SEG
+    bpad = np.zeros(S * ib.SEG + ib.WIN, np.uint32)
+    bpad[:W] = body
+    lo3 = (bpad[: S * ib.SEG] & 0xFFFF).astype(np.float32).reshape(S, ib.SEG)
+    hi3 = (bpad[: S * ib.SEG] >> 16).astype(np.float32).reshape(S, ib.SEG)
+    pos = np.array([0, W // 3, W // 2, W - 2 * ib.WIN], np.int64)
+    st = {"bitpos": jnp.asarray(pos * 32, jnp.int32),
+          "status": jnp.full(4, int(ib.STATUS_RUNNING), jnp.int32)}
+    ck = {"win": jnp.zeros((4, ib.WIN), jnp.uint32),
+          "win_word": jnp.full((4,), -(10 * ib.WIN), jnp.int32),
+          "rr": jnp.zeros((4,), jnp.int32)}
+    ck2 = ib._refill_windows_shared(ck, st, jnp.asarray(lo3),
+                                    jnp.asarray(hi3))
+    win = np.asarray(ck2["win"])
+    ww = np.asarray(ck2["win_word"])
+    for n in range(4):
+        assert ww[n] <= pos[n] < ww[n] + ib.WIN
+        np.testing.assert_array_equal(win[n], bpad[ww[n] : ww[n] + ib.WIN])
