@@ -43,6 +43,8 @@ class InflateStream:
         self._dictionary = dictionary
         self._engine = InflateEngine(self._capacity, self._flags, dictionary)
         self._destroyed = False
+        #: observability: True once run() took the C++ fast path
+        self.native_path_used = False
 
     # -- input ---------------------------------------------------------------
     def include(self, data) -> Result:
@@ -55,10 +57,28 @@ class InflateStream:
     # -- one-shot ------------------------------------------------------------
     def run(self) -> Result:
         """Decode everything included so far.  ≙ infl() (infl.c:1507-1675).
-        Returns OK, UNFINISHED (more input needed), EFULL, or an error."""
+        Returns OK, UNFINISHED (more input needed), EFULL, or an error.
+
+        A fresh one-shot decode routes through the C++ engine (the
+        reference's `infl_buf` is its *fastest* path, infl.h:125-145);
+        dictionary streams and resumable states (UNFINISHED / EFULL /
+        errors) stay on the byte-granular oracle engine."""
         if self._destroyed:
             return Result.EBADF
-        return self._engine.step()
+        eng = self._engine
+        if (not eng._started and eng._finished is None
+                and not self._dictionary and eng.reader.chunks):
+            from defl_tpu.runtime import native
+
+            if native.available():
+                data = b"".join(eng.reader.chunks)
+                r, out, in_pos = native.native_inflate_pos(
+                    data, eng.capacity, self._flags)
+                if r is Result.OK:
+                    eng.adopt_native_result(out, in_pos)
+                    self.native_path_used = True
+                    return Result.OK
+        return eng.step()
 
     # -- streaming -----------------------------------------------------------
     def stream(self, data=b"") -> Result:
@@ -131,9 +151,25 @@ def inflate_buffer(data, dst_capacity: int | None = None,
                    dictionary: bytes | None = None) -> bytes:
     """One-shot convenience inflate.  ≙ infl_buf (include/defl/infl.h:125-145).
 
-    Raises DeflError on failure; returns the decompressed bytes.
+    Runs on the C++ engine (the reference's fastest path) with
+    grow-on-EFULL semantics when no capacity is declared; dictionary
+    streams use the oracle engine (the native one-shot path rejects
+    FDICT, ≙ reference zlib.h:88-93).  Raises DeflError on failure.
     """
-    res, out = inflate_oracle(bytes(data), flags, dst_capacity, dictionary)
+    from defl_tpu.runtime import native
+
+    data = bytes(data)
+    if native.available() and not dictionary:
+        grow = dst_capacity is None
+        cap = max(64 * len(data), 4096) if grow else int(dst_capacity)
+        while True:
+            res, out = native.native_inflate(data, cap, flags)
+            if res is Result.EFULL and grow and cap < (1 << 31):
+                cap *= 4
+                continue
+            break
+    else:
+        res, out = inflate_oracle(data, flags, dst_capacity, dictionary)
     if res is not Result.OK:
         raise DeflError(res, f"inflate failed after {len(out)} bytes")
     return out

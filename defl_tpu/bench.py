@@ -340,6 +340,24 @@ def _run():
             f"{stats.get('stitch_s', 0):.2f}) + tunnel fetch "
             f"{stats.get('fetch_s', 0):.2f}s; ok={ok64}")
 
+    # ---- scaling evidence on the virtual 8-device CPU mesh (SURVEY §6;
+    # real multi-chip hardware is absent here, so this measures the
+    # shard_map pipeline's strong scaling + the DistributedCodec's
+    # overhead vs raw device_inflate at 1 device — see bench_scaling) ----
+    scaling = {}
+    if os.environ.get("DEFL_BENCH_SCALING", "1") == "1":
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "defl_tpu.bench_scaling"],
+                capture_output=True, timeout=900,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"})
+            scaling = json.loads(r.stdout.decode().strip().splitlines()[-1])
+            log(f"virtual-mesh scaling: {scaling}")
+        except Exception as e:  # pragma: no cover
+            log(f"scaling subprocess failed: {e}")
+
     # ---- multi-chip scaling (runs only on real multi-device slices) ----
     scaling_eff = None
     if len(jax.devices()) > 1:
@@ -380,6 +398,7 @@ def _run():
                 "tunnel, rate reported; rides PCIe on real hosts)",
     }
     result.update(large)
+    result.update(scaling)
     if scaling_eff is not None:
         result["n_devices"] = len(jax.devices())
         result["scaling_eff"] = round(scaling_eff, 3)

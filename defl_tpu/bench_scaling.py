@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence on the virtual CPU mesh (SURVEY §6 north
+star: >=85% scaling at 1 chip / 1 host / >=2 hosts).
+
+Real multi-chip hardware is unavailable in this environment, so two
+proxies are measured (VERDICT r3 missing #2 / next #4):
+
+  - ``shard8_speedup``: wall-clock of the SAME total batch decoded by
+    ``DistributedCodec`` on an 8-virtual-device mesh vs a 1-device mesh
+    (strong scaling of the shard_map pipeline; on a shared-core CPU host
+    this is bounded by physical cores, so it falsifies gross sharding
+    overhead rather than demonstrating ICI scaling),
+  - ``dist_overhead_pct``: ``DistributedCodec`` on a 1-device mesh vs raw
+    ``device_inflate`` on the same batch — the cost of the shard_map /
+    sharding machinery itself, which IS the quantity that must stay <=5%
+    for the >=85% multi-chip target to be reachable (per-device work is
+    identical across devices; only this wrapper and the psum'd stats
+    differ from the single-device path).
+
+Run standalone (the caller sets the virtual-device env BEFORE jax loads):
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m defl_tpu.bench_scaling
+
+Prints one JSON line; bench.py invokes it as a subprocess and merges the
+fields into the headline bench record.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import zlib
+
+
+def measure(n_streams: int = 256, block: int = 16384, reps: int = 3):
+    import jax
+    import numpy as np
+
+    from defl_tpu.bench import make_silesia_like
+    from defl_tpu.parallel.mesh import make_stream_mesh
+    from defl_tpu.parallel.shard import DistributedCodec
+    from defl_tpu.runtime.session import device_inflate
+
+    devs = jax.devices()
+    payloads = make_silesia_like(n_streams * block, block)[:n_streams]
+    streams = [zlib.compress(p, 6) for p in payloads]
+    raw_bytes = sum(len(p) for p in payloads)
+
+    def time_codec(codec):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res, outs, _ = codec.inflate(streams, dst_capacities=block)
+            best = min(best, time.perf_counter() - t0)
+        assert all(int(r) == 0 for r in res)
+        assert outs[17] == payloads[17]
+        return best
+
+    codec1 = DistributedCodec(mesh=make_stream_mesh(devs[:1]))
+    codec_n = DistributedCodec(mesh=make_stream_mesh(devs))
+    time_codec(codec1)   # compile
+    time_codec(codec_n)  # compile
+    shard1_s = time_codec(codec1)
+    shardn_s = time_codec(codec_n)
+
+    def time_raw():
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res, outs, _ = device_inflate(streams, dst_capacities=block,
+                                          resolve="device")
+            best = min(best, time.perf_counter() - t0)
+        assert outs[17] == payloads[17]
+        return best
+
+    time_raw()  # compile
+    raw_s = time_raw()
+
+    return {
+        "scaling_n_devices": len(devs),
+        "scaling_raw_mb": round(raw_bytes / 1e6, 1),
+        "shard1_s": round(shard1_s, 4),
+        f"shard{len(devs)}_s": round(shardn_s, 4),
+        "shard8_speedup": round(shard1_s / shardn_s, 3),
+        "dist_overhead_pct": round(100.0 * (shard1_s - raw_s) / raw_s, 1),
+        "raw_device_inflate_s": round(raw_s, 4),
+    }
+
+
+def main():
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # the axon TPU plugin's sitecustomize force-selects jax_platforms via
+    # jax.config at interpreter start, overriding the env var — undo it
+    # (same workaround as tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    res = measure()
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -161,6 +161,7 @@ class InflateEngine:
         self._gen = self._run()
         self._finished: Result | None = None
         self._started = False
+        self._input_pos_override: int | None = None
 
     # -- input management (≙ infl_include, mem.c:114-216) --------------------
     def include(self, data) -> Result:
@@ -185,7 +186,22 @@ class InflateEngine:
 
     @property
     def input_pos(self) -> int:
+        if self._input_pos_override is not None:
+            return self._input_pos_override
         return self.reader.consumed_bytes()
+
+    def adopt_native_result(self, out: bytes, in_pos: int) -> None:
+        """Install a completed decode produced by the C++ fast path
+        (api.InflateStream.run routes fresh contiguous one-shot decodes
+        through dt_inflate — ≙ infl_buf being the reference's fastest
+        path, infl.h:125-145).  Only ever called on a fresh engine with a
+        successful (OK) result; resumable/error cases stay on the
+        generator."""
+        assert not self._started and self._finished is None
+        self.out.extend(out)
+        self._input_pos_override = int(in_pos)
+        self._finished = Result.OK
+        self._started = True
 
     # -- decode driver -------------------------------------------------------
     def step(self) -> Result:

@@ -21,9 +21,11 @@
 // EFULL=-105).
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -42,6 +44,18 @@ struct BitReader {
   int n = 0;
 
   void refill() {
+    if (n > 56) return;  // reservoir already full to capacity
+    if (end - p >= 8) {
+      // fast path: one unconditional 8-byte little-endian load tops the
+      // reservoir up to >=57 bits (branch-free; the byte loop below cost
+      // ~8 dependent iterations and dominated the per-symbol decode)
+      uint64_t w;
+      memcpy(&w, p, 8);
+      bits |= w << n;
+      p += (63 - n) >> 3;
+      n |= 56;
+      return;
+    }
     while (n <= 56 && p < end) {
       bits |= (uint64_t)(*p++) << n;
       n += 8;
@@ -211,7 +225,8 @@ struct Inflater {
 uint32_t adler32_impl(const uint8_t* p, uint64_t n, uint32_t start);
 
 int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
-                 uint64_t dstcap, uint64_t* dstlen, int flags) {
+                 uint64_t dstcap, uint64_t* dstlen, int flags,
+                 uint64_t* in_pos = nullptr) {
   BitReader b{src, src + srclen};
   uint64_t out = 0;
   *dstlen = 0;
@@ -245,9 +260,12 @@ int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
       // drain reservoir bytes first, then memcpy
       while (len && b.n) { dst[out++] = (uint8_t)b.peek(8); b.drop(8); len--; }
       if ((uint64_t)(b.end - b.p) < len) return R_UNFINISHED;
-      memcpy(dst + out, b.p, len);
-      b.p += len;
-      out += len;
+      if (len) {
+        memcpy(dst + out, b.p, len);
+        b.p += len;   // manual cursor move: the fast refill's unaccounted
+        b.bits = 0;   // reservoir residue (bits past n) is stale now
+        out += len;
+      }
       continue;
     }
     if (btype == 3) return R_ERR;
@@ -335,6 +353,14 @@ int inflate_impl(const uint8_t* src, uint64_t srclen, uint8_t* dst,
         for (uint32_t k = 0; k < length; k++) d[k] = s[k];
       }
     }
+  }
+  if (in_pos) {
+    // reference input_pos semantics (infl.h:180-184, mem.c:296-329):
+    // whole unread bytes prefetched into the bit buffer don't count; a
+    // partially consumed final byte counts as consumed.  Captured at the
+    // final block's EOB, before any trailer read.
+    int64_t consumed_bits = 8 * (int64_t)srclen - b.total_avail();
+    *in_pos = (uint64_t)((consumed_bits + 7) / 8);
   }
   if ((flags & 1) && (flags & 2)) {
     // FLAG_VERIFY_ADLER32 extension: 4 big-endian trailer bytes after the
@@ -855,6 +881,11 @@ struct ResolveArgs {
                             // window content (incremental streaming resolve)
   const uint8_t* dict;
   uint32_t dict_len;
+  int64_t in_cap;           // readable bytes from each lane's input base —
+                            // bounds stored-run token reads so an
+                            // adversarial/corrupt token word can never
+                            // read out of bounds (≙ the containment rule
+                            // that a bad lane must not crash the batch)
 };
 
 // Overlap-correct match copy with 8-byte overrunning stores (caller
@@ -898,21 +929,25 @@ static inline void copy_match_fast(uint8_t* d, const uint8_t* s,
 // stop the lane (malformed back-reference).
 static inline bool resolve_token_exact(const ResolveArgs& a, uint32_t v,
                                        const uint8_t* in, uint8_t* out,
-                                       int64_t& p) {
+                                       int64_t& p, int64_t row_cap) {
   uint32_t kind = v >> 30;
   if (kind == 1) {
+    if (p + 2 > row_cap) return false;  // malformed dst_len: contain
     out[p++] = (uint8_t)v;
     if (v & (1u << 16)) out[p++] = (uint8_t)(v >> 8);
     return true;
   }
   if (kind == 3) {
     uint32_t run = ((v >> 22) & 0xFF) + 1;
-    memcpy(out + p, in + (v & 0x3FFFFF), run);
+    int64_t off = (int64_t)(v & 0x3FFFFF);
+    if (off + run > a.in_cap || p + run > row_cap) return false;
+    memcpy(out + p, in + off, run);
     p += run;
     return true;
   }
   uint32_t len = ((v >> 21) & 0x1FF) + 3;
   uint32_t dist = (v & 0x7FFF) + 1;
+  if (p + (int64_t)len > row_cap) return false;  // malformed: contain
   int64_t src = p - (int64_t)dist;
   if (src < -(int64_t)a.dict_len) return false;  // malformed: contain
   if (src < 0) {  // reaches into the shared preset dictionary
@@ -939,16 +974,20 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
   const uint32_t* tok = a.tokens + n * a.T;
   const uint8_t* in = a.input + n * a.in_stride;
   uint8_t* out = a.out + n * a.out_stride;
-  const int64_t want = a.dst_len[n];
   const int64_t row_cap = a.out_stride ? (int64_t)a.out_stride
                                        : (int64_t)a.out_cap;
+  int64_t want = a.dst_len[n];
+  if (want > row_cap) want = row_cap;  // lying dst_len: contain
   int64_t p = a.dst_start ? a.dst_start[n] : 0;
-  // Fast region: while every possible emission (<=258B match + 32B
-  // overrun slack) stays inside the row, no per-token capacity checks
-  // are needed and all stores may overrun (stale bytes past the current
-  // position are overwritten by later tokens or lie beyond dst_len).
+  if (p < 0 || p > row_cap) return;    // lying dst_start: contain
+  // Fast region: while every possible emission (a match token ENCODES up
+  // to 514B — the 9-bit len field is adversarial input even though the
+  // decoder never emits >258 — plus stride-8 store overrun) stays inside
+  // the row, no per-token capacity checks are needed and all stores may
+  // overrun (stale bytes past the current position are overwritten by
+  // later tokens or lie beyond dst_len).
   const int64_t fast_end =
-      (row_cap - 320 < want ? row_cap - 320 : want);
+      (row_cap - 576 < want ? row_cap - 576 : want);
   int64_t t = 0;
   uint64_t w;
   for (; t < a.T && p < fast_end; t++) {
@@ -967,7 +1006,7 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
       uint32_t dist = (v & 0x7FFF) + 1;
       int64_t src = p - (int64_t)dist;
       if (__builtin_expect(src < 0, 0)) {
-        if (!resolve_token_exact(a, v, in, out, p)) return;
+        if (!resolve_token_exact(a, v, in, out, p, row_cap)) return;
         continue;
       }
       const uint8_t* s = out + src;
@@ -987,7 +1026,9 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
     }
     if (kind == 3) {
       uint32_t run = ((v >> 22) & 0xFF) + 1;
-      memcpy(out + p, in + (v & 0x3FFFFF), run);
+      int64_t off = (int64_t)(v & 0x3FFFFF);
+      if (__builtin_expect(off + run > a.in_cap, 0)) return;  // contain
+      memcpy(out + p, in + off, run);
       p += run;
     }
     // kind 0: NOP
@@ -996,7 +1037,7 @@ void resolve_lane(const ResolveArgs& a, int64_t n) {
   for (; t < a.T && p < want; t++) {
     uint32_t v = tok[t];
     if ((v >> 30) == 0) continue;
-    if (!resolve_token_exact(a, v, in, out, p)) return;
+    if (!resolve_token_exact(a, v, in, out, p, row_cap)) return;
   }
 }
 
@@ -1131,6 +1172,7 @@ int64_t find_block_start_impl(const uint8_t* src, uint64_t srclen,
   // 144 bits clear of the end (the tail is covered by chain fallback)
   int64_t maxbit = 8 * (int64_t)srclen - 144;
   if (hi > maxbit) hi = maxbit;
+  if (lo < 0) lo = 0;
   // Batch pre-filter: one 64-bit window yields a candidate mask for 40
   // positions at once (BTYPE==2 means bit i+1 == 0 and bit i+2 == 1, so
   // mask = ~(w>>1) & (w>>2); only ~25% of positions survive), and the
@@ -1142,13 +1184,17 @@ int64_t find_block_start_impl(const uint8_t* src, uint64_t srclen,
   for (int64_t base = lo; base < hi; base += 40) {
     uint64_t w = bits_at(src, base);
     uint64_t m = ~(w >> 1) & (w >> 2) & ((UINT64_C(1) << 40) - 1);
+    // HLIT<=29 (bits i+4..i+7 not all set) and HDIST<=29 (i+9..i+12)
+    // fold into the same batch mask: kills the ~12% of BTYPE survivors
+    // that previously paid a branchy per-candidate check
+    m &= ~((w >> 4) & (w >> 5) & (w >> 6) & (w >> 7));
+    m &= ~((w >> 9) & (w >> 10) & (w >> 11) & (w >> 12));
     int64_t room = hi - base;
     if (room < 40) m &= (UINT64_C(1) << room) - 1;
     while (m) {
       int i = __builtin_ctzll(m);
       m &= m - 1;
       uint64_t v = w >> i;
-      if (((v >> 3) & 31) > 29 || ((v >> 8) & 31) > 29) continue;
       int64_t bit = base + i;
       int hclen = 4 + (int)((v >> 13) & 15);
       uint64_t h = bits_at(src, bit + 17);  // all 3*hclen fields (<=57b)
@@ -1204,9 +1250,12 @@ int inflate_span_impl(const uint8_t* src, uint64_t srclen, int64_t bit_start,
       if (out + len > dstcap) { *dstlen = out; return R_EFULL; }
       while (len && b.n) { dst[out++] = (uint8_t)b.peek(8); b.drop(8); len--; }
       if ((uint64_t)(b.end - b.p) < len) return R_UNFINISHED;
-      memcpy(dst + out, b.p, len);
-      b.p += len;
-      out += len;
+      if (len) {
+        memcpy(dst + out, b.p, len);
+        b.p += len;   // manual cursor move: clear the fast refill's
+        b.bits = 0;   // unaccounted reservoir residue (bits past n)
+        out += len;
+      }
       continue;
     }
     if (btype == 3) return R_ERR;
@@ -1316,6 +1365,12 @@ int stitch_impl(const uint8_t* body, uint64_t body_len,
   int64_t k = 0;
   *total_out = 0;
   *end_bit_out = cur_bit;
+  // corrupt-metadata containment: candidates must be sorted stream
+  // positions (the python side guarantees this; a fuzzer need not)
+  for (int64_t i = 0; i < M; i++)
+    if (cands[i] < 0 || cands[i] >= nbits ||
+        (i && cands[i] <= cands[i - 1]))
+      return R_ERR;
   for (;;) {
     while (k < M && cands[k] < cur_bit) k++;
     bool lane_ok = false;
@@ -1335,7 +1390,8 @@ int stitch_impl(const uint8_t* body, uint64_t body_len,
       int32_t lane_end = (int32_t)(out_pos + seg);
       int32_t lane_start = (int32_t)out_pos;
       ResolveArgs a{toks + k * T, T, body + (cands[k] >> 3), 0,
-                    out, 0, out_cap, &lane_end, &lane_start, nullptr, 0};
+                    out, 0, out_cap, &lane_end, &lane_start, nullptr, 0,
+                    (int64_t)body_len - (cands[k] >> 3)};
       resolve_lane(a, 0);
       out_pos += seg;
       cur_bit = bit_end[k];
@@ -1346,6 +1402,18 @@ int stitch_impl(const uint8_t* body, uint64_t body_len,
       }
       k++;
       continue;
+    }
+    // a lying bit_end (corrupt lane metadata) must never reach the span
+    // decoder's pointer arithmetic
+    if (cur_bit < 0 || cur_bit > nbits) {
+      *total_out = out_pos;
+      *end_bit_out = cur_bit;
+      return R_ERR;
+    }
+    if (cur_bit == nbits) {
+      *total_out = out_pos;
+      *end_bit_out = cur_bit;
+      return R_UNFINISHED;
     }
     // serial fallback: decode to the next candidate boundary (the chain
     // re-synchronises there), or to the stream end
@@ -1375,9 +1443,332 @@ int stitch_impl(const uint8_t* body, uint64_t body_len,
   }
 }
 
+// ------------------------------------ parallel large-stream inflate -------
+// Host-parallel answer to the reference's core single-huge-stream use
+// case (`/root/reference/src/infl/infl.c:1507-1675`, strictly serial
+// there): rapidgzip-style two-pass decode.  N worker threads each (a)
+// find a dynamic-block boundary near their segment target with the
+// speculative finder above and (b) Huffman-decode their span to TOKENS —
+// tokens need no back-reference window, so segments decode with zero
+// inter-segment dependency.  The calling thread follows behind as the
+// stitcher: it walks the candidate chain in stream order, validates each
+// seam (lane k's end bit == lane k+1's start bit), and resolves
+// validated token runs into the single output buffer at memory speed
+// (`resolve_lane`); any gap — finder miss, false positive, decode error
+// — is serially span-decoded until the chain re-synchronises.  A wrong
+// candidate can never corrupt output; worst case equals the serial
+// engine.
+//
+// The decode/stitch phases overlap: the stitcher blocks on a per-segment
+// done flag (mutex+cv — TSan-clean happens-before) while workers run
+// ahead, so wall clock ~ max(parallel token decode, serial resolve).
+
+struct LargeSeg {
+  int64_t start_bit = -1;   // candidate block start (-1: finder missed)
+  int64_t end_bit = 0;      // first block boundary at/past the next target
+  int64_t out_len = 0;      // bytes the token run produces
+  int64_t min_reach = 0;    // most negative (local_out - dist) over tokens
+  int status = R_ERR;       // R_OK: decoded cleanly to a stop point
+  bool final_blk = false;
+  std::vector<uint32_t> toks;
+};
+
+struct LargeState {
+  std::vector<LargeSeg> segs;
+  std::vector<uint8_t> done;  // guarded by mu
+  std::mutex mu;
+  std::condition_variable cv;
+  bool decoded = false;  // phase A completed (EFULL-retry runs stitch only)
+};
+
+// Span decode emitting tokens (no output window).  Stops at the first
+// block boundary at/past bit_limit, at the final block's EOB, or on any
+// anomaly (status stays R_ERR -> the stitcher's serial fallback covers).
+void span_to_tokens(const uint8_t* src, uint64_t srclen, LargeSeg& seg,
+                    int64_t bit_limit, int64_t max_toks) {
+  BitReader b{src + (seg.start_bit >> 3), src + srclen};
+  b.refill();
+  b.drop((int)(seg.start_bit & 7));
+  static thread_local Inflater inf;
+  const int64_t in_base = seg.start_bit >> 3;
+  int64_t out = 0, min_reach = 0;
+  int pend = -1;  // buffered literal awaiting a pair partner
+  auto cur_bit = [&]() { return 8 * (int64_t)(b.p - src) - (int64_t)b.n; };
+  auto flush_pend = [&]() {
+    if (pend >= 0) { seg.toks.push_back((1u << 30) | (uint32_t)pend); pend = -1; }
+  };
+  bool final_blk = false;
+  for (;;) {
+    if (final_blk || cur_bit() >= bit_limit) {
+      flush_pend();
+      seg.end_bit = cur_bit();
+      seg.out_len = out;
+      seg.min_reach = min_reach;
+      seg.final_blk = final_blk;
+      seg.status = R_OK;
+      return;
+    }
+    b.refill();
+    if (b.n < 3) return;
+    final_blk = b.peek(1); b.drop(1);
+    uint32_t btype = b.peek(2); b.drop(2);
+    if ((int64_t)seg.toks.size() > max_toks) return;  // runaway guard
+
+    if (btype == 0) {
+      b.align();
+      b.refill();
+      if (b.n < 32) return;
+      uint32_t len = b.peek(16); b.drop(16);
+      uint32_t nlen = b.peek(16); b.drop(16);
+      if (len != (~nlen & 0xFFFF)) return;
+      int64_t data_byte = cur_bit() >> 3;  // byte-aligned here
+      if (data_byte + len > (int64_t)srclen) return;
+      flush_pend();
+      for (uint32_t off = 0; off < len; off += 256) {
+        uint32_t run = len - off < 256 ? len - off : 256;
+        int64_t rel = data_byte + off - in_base;
+        if (rel > 0x3FFFFF) return;  // 22-bit offset field exceeded
+        seg.toks.push_back((3u << 30) | ((run - 1) << 22) | (uint32_t)rel);
+      }
+      out += len;
+      b = BitReader{src + data_byte + len, src + srclen};
+      b.refill();
+      continue;
+    }
+    if (btype == 3) return;
+    if (btype == 1) {
+      uint8_t ll[288], dl[32];
+      fixed_lens(ll, dl);
+      if (!build_table(inf.lit, ll, 288) || !build_table(inf.dist, dl, 32))
+        return;
+    } else {
+      b.refill();
+      if (b.n < 14) return;
+      int hlit = 257 + (int)b.peek(5); b.drop(5);
+      int hdist = 1 + (int)b.peek(5); b.drop(5);
+      int hclen = 4 + (int)b.peek(4); b.drop(4);
+      if (hlit > 286 || hdist > 30) return;
+      uint8_t cl[19] = {0};
+      for (int i = 0; i < hclen; i++) {
+        b.refill();
+        if (b.n < 3) return;
+        cl[kClOrder[i]] = (uint8_t)b.peek(3); b.drop(3);
+      }
+      if (!build_table(inf.clt, cl, 19)) return;
+      int total = hlit + hdist, i = 0, prev = 0;
+      memset(inf.lens, 0, sizeof(inf.lens));
+      while (i < total) {
+        int used;
+        int sym = decode_sym(b, inf.clt, &used);
+        if (sym < 0) return;
+        b.drop(used);
+        if (sym < 16) { inf.lens[i++] = (uint8_t)sym; prev = sym; continue; }
+        int rep, val = 0, eb = sym == 16 ? 2 : sym == 17 ? 3 : 7;
+        int base = sym == 16 ? 3 : sym == 17 ? 3 : 11;
+        b.refill();
+        if (b.n < eb) return;
+        rep = base + (int)b.peek(eb); b.drop(eb);
+        if (sym == 16) { if (i == 0) return; val = prev; }
+        else prev = 0;
+        if (i + rep > total) return;
+        while (rep--) inf.lens[i++] = (uint8_t)val;
+      }
+      if (inf.lens[256] == 0) return;
+      if (!build_table(inf.lit, inf.lens, hlit)) return;
+      if (!build_table(inf.dist, inf.lens + hlit, hdist)) return;
+    }
+    for (;;) {
+      int used;
+      int sym = decode_sym(b, inf.lit, &used);
+      if (sym < 0) return;
+      b.drop(used);
+      if (sym < 256) {
+        if (pend < 0) {
+          pend = sym;
+        } else {
+          seg.toks.push_back((1u << 30) | (1u << 16)
+                             | ((uint32_t)sym << 8) | (uint32_t)pend);
+          pend = -1;
+        }
+        out++;
+        continue;
+      }
+      if (sym == 256) break;
+      if (sym > 285) return;
+      int eb = kLenExtra[sym - 257];
+      b.refill();
+      if (b.n < eb) return;
+      uint32_t length = kLenBase[sym - 257] + b.peek(eb); b.drop(eb);
+      int dsym = decode_sym(b, inf.dist, &used);
+      if (dsym < 0 || dsym > 29) return;
+      b.drop(used);
+      eb = kDistExtra[dsym];
+      b.refill();
+      if (b.n < eb) return;
+      uint32_t distv = kDistBase[dsym] + b.peek(eb); b.drop(eb);
+      flush_pend();
+      if (out - (int64_t)distv < min_reach) min_reach = out - (int64_t)distv;
+      seg.toks.push_back((2u << 30) | ((length - 3) << 21) | (distv - 1));
+      out += length;
+      if ((int64_t)seg.toks.size() > max_toks) return;
+    }
+  }
+}
+
+// The stitcher: walk segments in stream order (blocking on each done
+// flag), resolve validated token runs, serially span-decode gaps.
+int large_stitch(const uint8_t* body, uint64_t body_len, LargeState* S,
+                 uint8_t* out, uint64_t out_cap,
+                 uint64_t* total_out, int64_t* end_bit_out) {
+  const int64_t nbits = 8 * (int64_t)body_len;
+  const int64_t n = (int64_t)S->segs.size();
+  int64_t cur_bit = 0;
+  uint64_t out_pos = 0;
+  int64_t k = 0;
+  auto wait_done = [&](int64_t i) {
+    std::unique_lock<std::mutex> lk(S->mu);
+    S->cv.wait(lk, [&] { return S->done[i] != 0; });
+  };
+  auto finish = [&](int r) {
+    *total_out = out_pos;
+    *end_bit_out = cur_bit;
+    return r;
+  };
+  for (;;) {
+    // next candidate at/past cur_bit (skips finder misses + duplicates)
+    while (k < n) {
+      wait_done(k);
+      if (S->segs[k].start_bit >= cur_bit) break;
+      k++;
+    }
+    LargeSeg* seg = (k < n && S->segs[k].start_bit == cur_bit)
+                        ? &S->segs[k] : nullptr;
+    if (seg && seg->status == R_OK && !seg->final_blk) {
+      // seam validation needs the NEXT candidate's start bit
+      int64_t j = k + 1;
+      while (j < n) {
+        wait_done(j);
+        if (S->segs[j].start_bit > seg->start_bit) break;
+        j++;
+      }
+      if (j >= n || S->segs[j].start_bit != seg->end_bit) seg = nullptr;
+    }
+    if (seg && (int64_t)out_pos + seg->min_reach < 0)
+      seg = nullptr;  // back-ref before output start (only possible in
+                      // the first 32KB): serial path raises the error
+    if (seg && out_pos + (uint64_t)seg->out_len >= (UINT64_C(1) << 31))
+      seg = nullptr;  // resolve_lane cursors are int32: span path instead
+    if (seg) {
+      if (out_pos + (uint64_t)seg->out_len > out_cap) return finish(R_EFULL);
+      int32_t lane_end = (int32_t)(out_pos + (uint64_t)seg->out_len);
+      int32_t lane_start = (int32_t)out_pos;
+      ResolveArgs a{seg->toks.data(), (int64_t)seg->toks.size(),
+                    body + (seg->start_bit >> 3), 0, out, 0, out_cap,
+                    &lane_end, &lane_start, nullptr, 0,
+                    (int64_t)body_len - (seg->start_bit >> 3)};
+      resolve_lane(a, 0);
+      out_pos += (uint64_t)seg->out_len;
+      cur_bit = seg->end_bit;
+      if (seg->final_blk) return finish(R_OK);
+      k++;
+      continue;
+    }
+    if (cur_bit >= nbits) return finish(R_UNFINISHED);
+    // serial fallback to the next known candidate boundary
+    int64_t j = k;
+    while (j < n) {
+      wait_done(j);
+      if (S->segs[j].start_bit > cur_bit) break;
+      j++;
+    }
+    int64_t lim = j < n ? S->segs[j].start_bit : (int64_t)1 << 62;
+    uint64_t dstlen = out_pos;
+    int64_t eb = cur_bit;
+    int r = inflate_span_impl(body, body_len, cur_bit, lim, out, out_cap,
+                              out_pos, &dstlen, &eb);
+    out_pos = dstlen;
+    if (r != R_OK) return finish(r);
+    if (eb < 0) {  // final block consumed: stream complete
+      cur_bit = -(eb + 1);
+      return finish(R_OK);
+    }
+    if (eb >= nbits) { cur_bit = eb; return finish(R_UNFINISHED); }
+    cur_bit = eb;
+    k = j;
+  }
+}
+
+int inflate_large_impl(const uint8_t* body, uint64_t body_len,
+                       int64_t seg_bytes, int n_threads,
+                       uint8_t* out, uint64_t out_cap,
+                       uint64_t* total_out, int64_t* end_bit_out,
+                       LargeState** state) {
+  LargeState* S = *state;
+  if (S && S->decoded) {  // EFULL retry: tokens are kept, stitch only
+    return large_stitch(body, body_len, S, out, out_cap, total_out,
+                        end_bit_out);
+  }
+  if (seg_bytes < 4096) seg_bytes = 4096;
+  int64_t n_seg = (int64_t)(body_len / (uint64_t)seg_bytes);
+  if (n_seg < 1) n_seg = 1;
+  S = new LargeState();
+  *state = S;
+  S->segs.resize(n_seg);
+  S->done.assign(n_seg, 0);
+  const int64_t seg_bits = 8 * seg_bytes;
+  const int64_t max_toks = 4 * seg_bits + 4096;  // runaway false positives
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_seg) return;
+      LargeSeg& seg = S->segs[i];
+      if (i == 0) {
+        seg.start_bit = 0;
+      } else {
+        int64_t lo = i * seg_bits;
+        seg.start_bit = find_block_start_impl(body, body_len, lo,
+                                              lo + 2 * seg_bits);
+      }
+      if (seg.start_bit >= 0)
+        span_to_tokens(body, body_len, seg, (i + 1) * seg_bits, max_toks);
+      {
+        std::lock_guard<std::mutex> lk(S->mu);
+        S->done[i] = 1;
+      }
+      S->cv.notify_all();
+    }
+  };
+  std::vector<std::thread> ts;
+  if (n_threads < 1) n_threads = 1;
+  for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+  int r = large_stitch(body, body_len, S, out, out_cap, total_out,
+                       end_bit_out);
+  for (auto& t : ts) t.join();
+  S->decoded = true;
+  return r;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Parallel large-stream inflate (find ‖ token-decode workers + stitcher
+// on the calling thread).  *state must be NULL on the first call; on
+// R_EFULL the caller may grow `out` and call again with the same state
+// (tokens are reused; only the stitch re-runs), then free with
+// dt_large_free.
+int dt_inflate_large(const uint8_t* body, uint64_t body_len,
+                     int64_t seg_bytes, int n_threads,
+                     uint8_t* out, uint64_t out_cap,
+                     uint64_t* total_out, int64_t* end_bit_out,
+                     void** state) {
+  return inflate_large_impl(body, body_len, seg_bytes, n_threads, out,
+                            out_cap, total_out, end_bit_out,
+                            (LargeState**)state);
+}
+
+void dt_large_free(void* state) { delete (LargeState*)state; }
 
 int64_t dt_find_block_start(const uint8_t* src, uint64_t srclen,
                             int64_t bit_lo, int64_t bit_hi) {
@@ -1451,12 +1842,13 @@ int dt_inflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,
 
 int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
                       const uint8_t* input, uint64_t in_stride,
+                      int64_t in_cap,
                       uint8_t* out, uint64_t out_stride, uint64_t out_cap,
                       const int32_t* dst_len, const int32_t* dst_start,
                       const uint8_t* dict, uint32_t dict_len,
                       int n_threads) {
   ResolveArgs a{tokens, T, input, in_stride, out, out_stride, out_cap,
-                dst_len, dst_start, dict, dict_len};
+                dst_len, dst_start, dict, dict_len, in_cap};
   resolve_all(a, N, n_threads);
   return 0;
 }
@@ -1464,6 +1856,17 @@ int dt_resolve_tokens(const uint32_t* tokens, int64_t N, int64_t T,
 int dt_inflate(const uint8_t* src, uint64_t srclen, uint8_t* dst,
                uint64_t dstcap, uint64_t* dstlen, int flags) {
   return inflate_impl(src, srclen, dst, dstcap, dstlen, flags);
+}
+
+// One-shot inflate that also reports the consumed input position — the
+// native backing for the public InflateStream.run()/inflate_buffer fast
+// path (≙ infl_buf being the reference's fast path, infl.h:125-145,
+// with infl_input_pos accounting, mem.c:296-329).
+int dt_inflate_pos(const uint8_t* src, uint64_t srclen, uint8_t* dst,
+                   uint64_t dstcap, uint64_t* dstlen, uint64_t* in_pos,
+                   int flags) {
+  *in_pos = 0;
+  return inflate_impl(src, srclen, dst, dstcap, dstlen, flags, in_pos);
 }
 
 int dt_deflate(const uint8_t* src, uint64_t srclen, uint8_t* dst,

@@ -43,6 +43,10 @@ from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
 
 #: target compressed bytes per device lane (≈ one deflate block at zlib-6)
 SEGMENT_BYTES = 24576
+#: target compressed bytes per host-parallel work unit (several deflate
+#: blocks: keeps the boundary-find cost — ~0.5ms/scan, dominated by the
+#: distance to the next dynamic header — well under the token decode)
+HOST_SEGMENT_BYTES = 131072
 #: per-lane output capacity: speculative segments whose output exceeds
 #: this EFULL out and take the serial-fallback path
 SEGMENT_CAP = 1 << 19
@@ -72,11 +76,28 @@ def _find_candidates(body: np.ndarray, start_bit: int, n_seg: int,
 
 def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
                   chunk_steps: int | None = None, use_device: bool | None = None,
-                  stats_out: dict | None = None):
-    """One huge stream -> (Result, bytes).  Speculative device-parallel
-    decode when a TPU is present (use_device=None autodetects), serial
-    C++ stitch otherwise.  stats_out (optional dict) receives per-stage
-    seconds: find/decode/fetch/stitch."""
+                  stats_out: dict | None = None, seg_bytes: int | None = None,
+                  n_threads: int | None = None):
+    """One huge stream -> (Result, bytes).
+
+    Two speculative block-parallel engines share the find/validate/stitch
+    design (module docstring):
+
+    - ``use_device=False`` (the default): the all-native parallel engine
+      (`dt_inflate_large`) — worker threads find boundaries and
+      token-decode segments while the calling thread stitches behind
+      them.  Measured 2.3-2.4x the serial C++ on a 4-core host
+      (NOTES.md round-4 ledger); no device round-trip.
+    - ``use_device=True``: segments decode as lanes of the lockstep TPU
+      decoder (shared device-resident body), host stitches.  Worth it
+      when the host is weak relative to its PCIe link and a TPU is
+      otherwise idle; the batch APIs remain the TPU's bread and butter.
+
+    ``use_device=None`` resolves to the DEFL_LARGE_DEVICE env knob
+    (default host — the measured-faster path, so the auto route never
+    costs users the device path's round-trip).  stats_out (optional
+    dict) receives per-stage seconds: parallel_s (host engine) or
+    find/decode/fetch/stitch (device engine)."""
     import time
 
     from defl_tpu.runtime import native
@@ -107,15 +128,21 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
 
     st = stats_out if stats_out is not None else {}
     if use_device is None:
-        import jax
+        import os
 
-        use_device = jax.devices()[0].platform == "tpu"
+        use_device = os.environ.get("DEFL_LARGE_DEVICE") == "1"
+
+    if not use_device:
+        return _host_parallel(body, data, zf, flags, cap_total, grow,
+                              seg_bytes, n_threads, st)
 
     body_dev = None
     n_seg = max(1, body.size // SEGMENT_BYTES)
     if 8 * body.size >= (1 << 31) - (1 << 22):
-        use_device = False  # global bit cursors are int32: >256MB of
-        #                     compressed body goes through the serial path
+        # the device decoder's global bit cursors are int32: >256MB of
+        # compressed body routes to the host-parallel engine (int64 there)
+        return _host_parallel(body, data, zf, flags, cap_total, grow,
+                              seg_bytes, n_threads, st)
     if use_device and n_seg > 2:
         # async upload of the shared body overlaps the block find below
         # (the decoder's shared-input mode reads one [S, SEG] body for
@@ -171,6 +198,44 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
         if stored != native.native_adler32(out[:total].tobytes()):
             return Result.ERR, out[:total].tobytes()
     return Result.OK, out[:total].tobytes()
+
+
+def _host_parallel(body, data, zf, flags, cap_total, grow, seg_bytes,
+                   n_threads, st):
+    """All-native parallel engine: dt_inflate_large (find ‖ token-decode
+    workers + stitcher on this thread).  Grow-on-EFULL retries reuse the
+    decoded tokens — only the stitch re-runs."""
+    import time
+
+    from defl_tpu.runtime import native
+
+    lib = native.get_lib()
+    t0 = time.perf_counter()
+    state = None
+    try:
+        while True:
+            out = np.zeros(cap_total, np.uint8)
+            r, total, end_bit, state = native.inflate_large_parallel(
+                lib, body, out, seg_bytes=seg_bytes or HOST_SEGMENT_BYTES,
+                n_threads=n_threads, state=state)
+            if r is Result.EFULL and grow and cap_total < (1 << 40):
+                cap_total *= 4
+                continue
+            break
+    finally:
+        native.large_free(lib, state)
+    st["parallel_s"] = time.perf_counter() - t0
+    if r is not Result.OK:
+        return r, out[:total].tobytes()
+    out_b = out[:total].tobytes()
+    if (flags & FLAG_VERIFY_ADLER32) and zf:
+        tb = (end_bit + 7) // 8
+        if tb + 4 > body.size:
+            return Result.UNFINISHED, out_b
+        stored = int.from_bytes(body[tb : tb + 4].tobytes(), "big")
+        if stored != native.native_adler32(out_b):
+            return Result.ERR, out_b
+    return Result.OK, out_b
 
 
 def _device_decode(body_dev, body_bytes, cands, chunk_steps, stats=None):

@@ -58,6 +58,12 @@ def get_lib():
         lib.dt_inflate.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
                                    ctypes.POINTER(ctypes.c_uint64),
                                    ctypes.c_int]
+        lib.dt_inflate_pos.restype = ctypes.c_int
+        lib.dt_inflate_pos.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                       ctypes.c_uint64,
+                                       ctypes.POINTER(ctypes.c_uint64),
+                                       ctypes.POINTER(ctypes.c_uint64),
+                                       ctypes.c_int]
         lib.dt_deflate.restype = ctypes.c_int
         lib.dt_deflate.argtypes = [u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
                                    ctypes.POINTER(ctypes.c_uint64),
@@ -73,7 +79,8 @@ def get_lib():
         lib.dt_resolve_tokens.restype = ctypes.c_int
         lib.dt_resolve_tokens.argtypes = [
             u32p, ctypes.c_int64, ctypes.c_int64,
-            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.c_uint64,
+            u8p, ctypes.c_uint64, ctypes.c_int64,
+            u8p, ctypes.c_uint64, ctypes.c_uint64,
             i32p, i32p, u8p, ctypes.c_uint32, ctypes.c_int]
         for name in ("dt_deflate_batch", "dt_inflate_batch"):
             fn = getattr(lib, name)
@@ -96,6 +103,12 @@ def get_lib():
             u8p, ctypes.c_uint64, i64p, ctypes.c_int64,
             u32p, ctypes.c_int64, i32p, i32p, i32p, i64p,
             u8p, ctypes.c_uint64, u64p, i64p]
+        lib.dt_inflate_large.restype = ctypes.c_int
+        lib.dt_inflate_large.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int,
+            u8p, ctypes.c_uint64, u64p, i64p, pptr]
+        lib.dt_large_free.restype = None
+        lib.dt_large_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -121,6 +134,22 @@ def native_inflate(data: bytes, dst_capacity: int,
     r = lib.dt_inflate(src, len(data), dst, dst_capacity,
                        ctypes.byref(outlen), flags)
     return Result(r), ctypes.string_at(dst, outlen.value)
+
+
+def native_inflate_pos(data: bytes, dst_capacity: int,
+                       flags: int = 1) -> tuple[Result, bytes, int]:
+    """One-shot native inflate reporting the consumed input position
+    (reference infl_input_pos semantics); (Result, output, in_pos)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = _u8(data)
+    dst = (ctypes.c_uint8 * max(dst_capacity, 1))()
+    outlen = ctypes.c_uint64(0)
+    in_pos = ctypes.c_uint64(0)
+    r = lib.dt_inflate_pos(src, len(data), dst, dst_capacity,
+                           ctypes.byref(outlen), ctypes.byref(in_pos), flags)
+    return Result(r), ctypes.string_at(dst, outlen.value), int(in_pos.value)
 
 
 def native_deflate(data: bytes, level: int = 6,
@@ -178,7 +207,7 @@ def native_resolve_tokens(tokens, input_words, dst_len, C: int,
     lib.dt_resolve_tokens(
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), N, T,
         inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        inputs.strides[0],
+        inputs.strides[0], inputs.strides[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C, C,
         dst_len.ctypes.data_as(i32p), start_p,
         _u8(d), len(d), n_threads)
@@ -284,10 +313,39 @@ def resolve_tokens_into(lib, lane_tokens, lane_input, out, start: int,
     lib.dt_resolve_tokens(
         toks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         1, toks.size,
-        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, inp.nbytes,
         _np_u8p(out), 0, out.size,
         dst_len.ctypes.data_as(i32p), dst_start.ctypes.data_as(i32p),
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)), 0, 1)
+
+
+def inflate_large_parallel(lib, body, out, seg_bytes: int = 16384,
+                           n_threads: int | None = None, state=None):
+    """Parallel large-stream inflate (dt_inflate_large): worker threads
+    find block boundaries + token-decode their segments while the calling
+    thread stitches/resolves behind them — the host-parallel replacement
+    for a serial decode of one huge stream (≙ the reference's core
+    `infl()` use case, infl.c:1507-1675, which is strictly serial).
+
+    body: uint8 ndarray of the raw-deflate body; out: uint8 output array.
+    Returns (Result, total_bytes, end_bit, state).  On EFULL, grow `out`
+    and call again passing `state` back (tokens are reused, only the
+    stitch re-runs); free the state with `large_free`."""
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    total = ctypes.c_uint64(0)
+    end_bit = ctypes.c_int64(0)
+    if state is None:
+        state = ctypes.c_void_p(None)
+    r = lib.dt_inflate_large(_np_u8p(body), body.size, seg_bytes, n_threads,
+                             _np_u8p(out), out.size, ctypes.byref(total),
+                             ctypes.byref(end_bit), ctypes.byref(state))
+    return Result(r), int(total.value), int(end_bit.value), state
+
+
+def large_free(lib, state) -> None:
+    if state:
+        lib.dt_large_free(state)
 
 
 def stitch(lib, body, cands, lane_info, out):

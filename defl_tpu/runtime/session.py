@@ -122,6 +122,37 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
         T=T, K=chunk_steps, dict_len=dict_len,
         has_dict=dictionary is not None)
 
+    # Undeclared-capacity EFULL lanes resume ON DEVICE with a grown
+    # budget (revive_carry + a second decode continuing from the saved
+    # resume state — ≙ infl_resize_output-then-continue, mem.c:277-288)
+    # instead of throwing the device work away on a host re-decode.
+    # Token buffers from successive calls concatenate along the step axis.
+    tok_parts = [tokens]
+    if dst_capacities is None:
+        from defl_tpu.ops.inflate_batch import revive_carry
+
+        caps_np = packed.dst_cap.astype(np.int64)
+        for _ in range(4):  # 64 -> up to 16384x the compressed size
+            status_np = np.asarray(st["status"])
+            efull = status_np == int(Result.EFULL)
+            if not efull.any() or caps_np.max() >= (1 << 30):
+                break
+            caps_np = np.where(efull, np.minimum(caps_np * 4, 1 << 30),
+                               caps_np)
+            cap_dev = jnp.asarray(caps_np.astype(np.int32))
+            carry = revive_carry(st, new_cap=cap_dev)
+            C = _bucket(int(caps_np.max()))
+            T = step_budget(C)
+            tokens, st = decode_tokens(
+                jnp.asarray(packed.words), jnp.asarray(packed.nbits),
+                jnp.asarray(packed.zflag), cap_dev,
+                T=T, K=chunk_steps, dict_len=dict_len,
+                has_dict=dictionary is not None, carry=carry)
+            tok_parts.append(tokens)
+        caps = [int(c) for c in caps_np[:n_in]]
+    if len(tok_parts) > 1:
+        tokens = jnp.concatenate(tok_parts, axis=0)
+
     if resolve == "host":
         from defl_tpu.runtime.native import available, native_resolve_tokens
 
@@ -154,12 +185,12 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
     in_bytes = packed.words.view(np.uint8)
 
     # Lanes needing a host-engine pass: step-budget exhaustion
-    # (pathological streams), plus the promised EFULL retry when the
-    # caller declared no capacity.  Routed through the multithreaded C++
+    # (pathological streams) only — undeclared-capacity EFULL lanes were
+    # already resumed on device above (a lane still EFULL here ran into
+    # the 1GB growth ceiling and keeps its EFULL status, matching the
+    # host backend's ceiling).  Routed through the multithreaded C++
     # batch engine, not the single-threaded Python oracle.
-    fb_idx = [i for i in range(n_in)
-              if int(status[i]) == STATUS_RUNNING
-              or (dst_capacities is None and int(status[i]) == Result.EFULL)]
+    fb_idx = [i for i in range(n_in) if int(status[i]) == STATUS_RUNNING]
     fb = {}
     if fb_idx:
         datas = [bytes(streams[i]) if isinstance(streams[i],
@@ -193,7 +224,8 @@ def device_inflate(streams, flags=FLAG_ZLIB, dictionary=None,
                 r = Result.ERR
         results.append(r)
         outputs.append(o)
-    stats = {"bitpos": bitpos, "dst_pos": dst_pos, "T": T, "C": C}
+    stats = {"bitpos": bitpos, "dst_pos": dst_pos, "T": T, "C": C,
+             "host_fallbacks": fb_idx}
     return results, outputs, stats
 
 

@@ -113,3 +113,56 @@ def test_raw_deflate_paths():
         st.include(comp[i : i + 4])
     assert st.run() is Result.OK
     assert st.output == payload
+
+
+def test_one_shot_takes_native_fast_path():
+    """A fresh contiguous run() must route through the C++ engine (≙ the
+    reference's infl_buf being its fastest path, infl.h:125-145) and
+    agree with the oracle engine on output AND input_pos accounting."""
+    from defl_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for name in ("text", "json", "period_13"):
+        payload = CORPUS[name]
+        comp = zlib.compress(payload, 6)
+        st = InflateStream(_cap(payload))
+        st.include(comp)
+        assert st.run() is Result.OK
+        assert st.native_path_used
+        # oracle twin for parity (forced off the fast path via dictionary
+        # arg being absent is not enough: drive the engine directly)
+        from defl_tpu.core.oracle import InflateEngine
+
+        eng = InflateEngine(_cap(payload))
+        eng.include(comp)
+        assert eng.step() is Result.OK
+        assert st.output == bytes(eng.out) == payload
+        assert st.input_pos == eng.input_pos
+
+
+def test_native_fast_path_preserves_resumable_semantics():
+    """Non-OK one-shots (truncated input, small capacity) must stay on the
+    resumable oracle engine: UNFINISHED + more input, EFULL +
+    resize_output both continue correctly after a failed fast path."""
+    from defl_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    payload = CORPUS["text"]
+    comp = zlib.compress(payload, 6)
+
+    st = InflateStream(_cap(payload))
+    st.include(comp[:100])
+    assert st.run() is Result.UNFINISHED
+    assert not st.native_path_used
+    st.include(comp[100:])
+    assert st.run() is Result.OK
+    assert st.output == payload
+
+    st = InflateStream(16)
+    st.include(comp)
+    assert st.run() is Result.EFULL
+    assert st.resize_output(_cap(payload)) is Result.OK
+    assert st.run() is Result.OK
+    assert st.output == payload

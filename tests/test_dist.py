@@ -119,3 +119,21 @@ def test_budget_exhaustion_retries_on_host(codec):
     assert res == [Result.OK] * 8
     assert outs[:7] == [payload] * 7
     assert outs[7] == b"Z"
+
+
+def test_scaling_measurement_runs():
+    """The scaling-evidence harness (bench_scaling.measure) must produce
+    sane numbers on the virtual mesh: sharded decode correct, 8-shard
+    never catastrophically slower than 1-shard, and the shard_map
+    machinery not adding gross overhead over raw device_inflate.  Exact
+    efficiency is recorded by bench.py (BENCH fields shard8_speedup /
+    dist_overhead_pct); hard >=85% assertions need real chips."""
+    from defl_tpu.bench_scaling import measure
+
+    m = measure(n_streams=64, block=4096, reps=2)
+    assert m["scaling_n_devices"] == 8
+    assert m["shard1_s"] > 0 and m["shard8_s"] > 0
+    # the virtual mesh shares 4 physical cores, so demand only "sharding
+    # does not destroy throughput", not linear speedup
+    assert m["shard8_speedup"] > 0.5, m
+    assert m["dist_overhead_pct"] < 50.0, m

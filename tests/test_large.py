@@ -91,6 +91,68 @@ def test_batch_inflate_routes_big_streams():
     assert outputs == [small_raw, big_raw, small_raw]
 
 
+@needs_native
+@pytest.mark.parametrize("seg_bytes", [16384, 131072])
+@pytest.mark.parametrize("n_threads", [1, 4])
+def test_host_parallel_engine_byte_exact(seg_bytes, n_threads):
+    """The all-native parallel engine (dt_inflate_large: find ‖ token
+    decode workers + stitcher) must be byte-exact against zlib across
+    segmentations and thread counts."""
+    raw = _big_payload(8)
+    comp = zlib.compress(raw, 6)
+    r, out = inflate_large(comp, use_device=False, seg_bytes=seg_bytes,
+                           n_threads=n_threads)
+    assert r is Result.OK
+    assert out == raw
+
+
+@needs_native
+def test_host_parallel_mixed_block_types():
+    # stored-only (level 0), static-leaning (level 1), and flush-seamed
+    # streams: the finder only spots dynamic headers, so these exercise
+    # the serial-fallback spans inside the parallel walk
+    import random
+
+    rng = random.Random(3)
+    incompressible = rng.randbytes(2 << 20)
+    for comp, raw in [
+        (zlib.compress(incompressible, 0), incompressible),
+        (zlib.compress(_big_payload(2), 1), _big_payload(2)),
+    ]:
+        r, out = inflate_large(comp, use_device=False)
+        assert r is Result.OK and out == raw
+    co = zlib.compressobj(6)
+    parts, raws = [], []
+    for i in range(64):
+        blk = rng.randbytes(2048) if i % 2 else b"pattern " * 300
+        raws.append(blk)
+        parts.append(co.compress(blk))
+        parts.append(co.flush(zlib.Z_FULL_FLUSH if i % 3 else
+                              zlib.Z_SYNC_FLUSH))
+    parts.append(co.flush())
+    r, out = inflate_large(b"".join(parts), use_device=False)
+    assert r is Result.OK and out == b"".join(raws)
+
+
+@needs_native
+def test_host_parallel_efull_retry_reuses_tokens():
+    """Grow-on-EFULL at the ctypes level: the retry passes the state back
+    and must NOT re-decode (phase A runs once)."""
+    raw = b"\x00" * (8 << 20)
+    comp = zlib.compress(raw, 6)
+    body = np.frombuffer(comp, np.uint8)[2:]
+    lib = native.get_lib()
+    out_small = np.zeros(1 << 20, np.uint8)
+    r, total, _, state = native.inflate_large_parallel(lib, body, out_small)
+    assert r is Result.EFULL and total <= out_small.size
+    out_big = np.zeros(len(raw), np.uint8)
+    r, total, _, state = native.inflate_large_parallel(lib, body, out_big,
+                                                       state=state)
+    native.large_free(lib, state)
+    assert r is Result.OK and total == len(raw)
+    assert out_big.tobytes() == raw
+
+
 @pytest.mark.skipif(os.environ.get("DEFL_TEST_TPU") != "1",
                     reason="device lane path needs a TPU")
 def test_inflate_large_device_lanes():

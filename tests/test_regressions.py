@@ -95,14 +95,18 @@ def test_invalid_code_vs_need_input_device():
 
 
 def test_no_capacity_high_ratio_full_output():
-    # ratio > 64x: the generous-cap guess EFULLs on device; the promised
-    # retry must deliver the complete output like the host backend does.
+    # ratio > 64x: the generous-cap guess EFULLs on device; the lane must
+    # resume ON DEVICE via revive_carry with a grown budget (≙
+    # infl_resize_output-then-continue, mem.c:277-288) — zero host
+    # fallbacks — and deliver the complete output.
     from defl_tpu.runtime.session import device_inflate
 
     raw = b"\0" * 100_000
-    res, outs, _ = device_inflate([zlib.compress(raw)], dst_capacities=None)
+    res, outs, stats = device_inflate([zlib.compress(raw)],
+                                      dst_capacities=None)
     assert res[0] is Result.OK
     assert outs[0] == raw
+    assert stats["host_fallbacks"] == []
 
 
 @needs_native
