@@ -75,8 +75,12 @@ class InflateStream:
                 r, out, in_pos = native.native_inflate_pos(
                     data, eng.capacity, self._flags)
                 if r is Result.OK:
+                    from defl_tpu import metrics
+
                     eng.adopt_native_result(out, in_pos)
                     self.native_path_used = True
+                    metrics.inc("oneshot_native_fast_path")
+                    metrics.inc("inflate_bytes_out", len(out))
                     return Result.OK
         return eng.step()
 
@@ -172,6 +176,11 @@ def inflate_buffer(data, dst_capacity: int | None = None,
         res, out = inflate_oracle(data, flags, dst_capacity, dictionary)
     if res is not Result.OK:
         raise DeflError(res, f"inflate failed after {len(out)} bytes")
+    from defl_tpu import metrics
+
+    metrics.inc("inflate_buffer_calls")
+    metrics.inc("inflate_bytes_in", len(data))
+    metrics.inc("inflate_bytes_out", len(out))
     return out
 
 
@@ -213,8 +222,14 @@ def inflate_batch(streams, flags: int = FLAG_ZLIB, backend: str = "auto",
                          dictionary=dictionary, dst_capacities=dst_capacities)
 
 
-def deflate_batch(payloads, level: int = 6, flags: int = FLAG_ZLIB):
-    """Compress many independent payloads (host-parallel or device)."""
+def deflate_batch(payloads, level: int = 6, flags: int = FLAG_ZLIB,
+                  backend: str = "auto"):
+    """Compress many independent payloads.
+
+    backend: "host" (multithreaded C++), "device" (hybrid: host LZ77 +
+    trees, TPU Huffman bit-pack — ops/huffman_pack.py), or "auto".
+    """
     from defl_tpu.runtime.session import batch_deflate
 
-    return batch_deflate(payloads, level=level, flags=flags)
+    return batch_deflate(payloads, level=level, flags=flags,
+                         backend=backend)

@@ -273,40 +273,91 @@ def _run():
     # ---- phase 3: measured overlapped pipeline (decode i+1 on device
     # while host threads resolve batch i) — the production shape; one
     # wall-clock over >=4 batches ≙ test_files.c:242-250 whole-decode
-    # time.  The bulk token fetch is excluded via the _fetch hook (this
-    # env tunnels device->host at ~14 MB/s, ~1000x under real PCIe; its
-    # measured rate is reported separately above) — per-batch decode
-    # completion is still synced through the status/dst_pos fetch. ----
+    # time.  Batches are DISTINCT objects (rotated stream order) so
+    # packing/upload can't be cached away.  Two numbers:
+    #   pipeline_wall_GBps       — decode ‖ resolve overlap; the token
+    #     fetch is replaced by a pre-fetched buffer (this env tunnels
+    #     device->host at ~10 MB/s, ~1000x under the PCIe/DMA of a real
+    #     TPU host; per-batch decode completion is still synced through
+    #     the status/dst_pos fetch)
+    #   pipeline_fetch_wall_GBps — TRUE wall including the real per-batch
+    #     trimmed-token fetch over this env's tunnel, with the measured
+    #     bytes and rate reported so real-host cost is computable. ----
     pipe_gbps = 0.0
+    pipe_fetch = {}
     if use_host:
         from defl_tpu.runtime.pipeline import pipeline_inflate
 
         B = int(os.environ.get("DEFL_BENCH_PIPELINE_BATCHES", "8"))
+        batches = [streams[i:] + streams[:i] for i in range(B)]
+        pay_rot = [payloads[i:] + payloads[:i] for i in range(B)]
 
         def fetch_small(tokens, st):
             dst_pos = np.asarray(st["dst_pos"])   # syncs the decode
             status = np.asarray(st["status"])
             return tn, dst_pos, status, None
 
-        def sink(i, status, out_arr, dst_pos_arr):
-            # consume each batch as it lands (production shape: stream
-            # outputs onward instead of retaining every 512MB batch)
-            n_ok = int((status == 0).sum())
-            k = (i * 131) % n_streams
-            return (n_ok, out_arr[k, : dst_pos_arr[k]].tobytes()
-                    == payloads[k])
+        def make_sink(pays):
+            def sink(i, status, out_arr, dst_pos_arr):
+                # consume each batch as it lands (production shape:
+                # stream outputs onward instead of retaining them)
+                n_ok = int((status == 0).sum())
+                k = (i * 131) % n_streams
+                return (n_ok, out_arr[k, : dst_pos_arr[k]].tobytes()
+                        == pays[i][k])
+            return sink
 
         nt = os.environ.get("DEFL_BENCH_RESOLVE_THREADS")
+        nt = int(nt) if nt else None
+        # overlap measurement: prefetched token buffer stands in for the
+        # tunnel (note: with rotated batches the stub's token buffer only
+        # matches batch 0, so verify statuses, not bytes, here)
         per_batch, wall = pipeline_inflate(
-            [streams] * B, block, sink=sink, _fetch=fetch_small,
-            n_threads=int(nt) if nt else None)
-        ok_all = all(v == (n_streams, True) for v in per_batch)
+            batches, block, sink=make_sink(pay_rot), _fetch=fetch_small,
+            n_threads=nt)
+        ok_all = all(v[0] == n_streams for v in per_batch) \
+            and per_batch[0][1]
         pipe_gbps = raw_bytes * B / wall / 1e9
-        log(f"pipeline: {B} batches in {wall:.2f}s -> {pipe_gbps:.3f} GB/s "
-            f"wall (ok={ok_all})")
+        log(f"pipeline (overlap, stubbed fetch): {B} batches in {wall:.2f}s"
+            f" -> {pipe_gbps:.3f} GB/s wall (ok={ok_all})")
 
-    # ---- phase 4: 64MB single stream via speculative block-parallel
-    # decode (runtime/large.py) vs the serial C++ engine ----
+        # true wall including the real trimmed-token fetch (fewer batches:
+        # the tunnel is ~1000x under real PCIe and dominates this number)
+        Bf = int(os.environ.get("DEFL_BENCH_PIPELINE_FETCH_BATCHES", "2"))
+        fetched_bytes = []
+        real_fetch = None  # default pipeline fetch, instrumented
+
+        def counting_fetch(tokens, st):
+            import jax.numpy as jnp
+
+            rows = min(tokens.shape[0],
+                       -(-int(st["tok_rows"]) // 4096) * 4096)
+            toks_nt = np.asarray(jnp.transpose(tokens[:rows]))
+            fetched_bytes.append(toks_nt.nbytes)
+            return (toks_nt, np.asarray(st["dst_pos"]),
+                    np.asarray(st["status"]), None)
+
+        per_batch2, wall2 = pipeline_inflate(
+            batches[:Bf], block, sink=make_sink(pay_rot),
+            _fetch=counting_fetch, n_threads=nt)
+        ok2 = all(v == (n_streams, True) for v in per_batch2)
+        fb = sum(fetched_bytes) / max(1, len(fetched_bytes))
+        pipe_fetch = {
+            "pipeline_fetch_wall_GBps": round(raw_bytes * Bf / wall2 / 1e9,
+                                              4),
+            "pipeline_fetch_bytes_per_batch": int(fb),
+            "pipeline_fetch_ok": ok2,
+        }
+        log(f"pipeline (true wall, real fetch over tunnel): {Bf} batches "
+            f"in {wall2:.2f}s -> {raw_bytes*Bf/wall2/1e9:.3f} GB/s; "
+            f"{fb/1e6:.0f} MB tokens/batch "
+            f"({fb/raw_bytes:.2f} B/raw byte; ok={ok2})")
+
+    # ---- phase 4: 64MB single stream via the speculative block-parallel
+    # engines (runtime/large.py) vs the serial C++ engine.  The DEFAULT
+    # inflate_large route is the all-native parallel engine (find ‖
+    # token-decode workers + stitcher); the device-lane engine is
+    # measured alongside for the record. ----
     large = {}
     if use_host and os.environ.get("DEFL_BENCH_LARGE", "1") == "1":
         from defl_tpu.runtime.large import inflate_large
@@ -314,31 +365,96 @@ def _run():
 
         raw64 = b"".join(payloads[:1024])           # 64MB, one stream
         comp64 = zlib.compress(raw64, 6)
-        t0 = time.perf_counter()
-        r_cpp, out_cpp = native_inflate(comp64, len(raw64))
-        cpp_s = time.perf_counter() - t0
-        stats = {}
-        r_l, out_l = inflate_large(comp64, stats_out=stats)  # warm/compile
-        stats = {}
-        t0 = time.perf_counter()
-        r_l, out_l = inflate_large(comp64, stats_out=stats)
-        wall_s = time.perf_counter() - t0
+        cpp_s = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r_cpp, out_cpp = native_inflate(comp64, len(raw64))
+            cpp_s = min(cpp_s, time.perf_counter() - t0)
+        # default path: host-parallel engine (what users actually get)
+        par_s = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r_l, out_l = inflate_large(comp64)
+            par_s = min(par_s, time.perf_counter() - t0)
         ok64 = int(r_l) == 0 and out_l == raw64 and out_cpp == raw64
-        stage_s = (stats.get("find_s", 0) + stats.get("decode_s", 0)
-                   + stats.get("stitch_s", 0))
         large = {
             "large64_cpp_serial_s": round(cpp_s, 3),
+            "large64_host_parallel_s": round(par_s, 3),
+            "large64_vs_cpp": round(cpp_s / par_s, 2),
+            "large64_ok": ok64,
+        }
+        log(f"64MB single stream: C++ serial {cpp_s:.2f}s | host-parallel "
+            f"{par_s:.2f}s ({cpp_s / par_s:.2f}x, the default route); "
+            f"ok={ok64}")
+        # device-lane engine, for the record (opt-in route)
+        stats = {}
+        r_d, out_d = inflate_large(comp64, use_device=True,
+                                   stats_out=stats)  # warm/compile
+        stats = {}
+        t0 = time.perf_counter()
+        r_d, out_d = inflate_large(comp64, use_device=True, stats_out=stats)
+        wall_s = time.perf_counter() - t0
+        ok_dev = int(r_d) == 0 and out_d == raw64
+        stage_s = (stats.get("find_s", 0) + stats.get("decode_s", 0)
+                   + stats.get("stitch_s", 0))
+        large.update({
             "large64_device_stage_s": round(stage_s, 3),
             "large64_device_wall_s": round(wall_s, 3),
             "large64_fetch_s": round(stats.get("fetch_s", 0), 3),
-            "large64_vs_cpp": round(cpp_s / stage_s, 2) if stage_s else 0,
-            "large64_ok": ok64,
-        }
-        log(f"64MB single stream: C++ {cpp_s:.2f}s | device stages "
-            f"{stage_s:.2f}s (find {stats.get('find_s', 0):.2f} decode "
+            "large64_device_ok": ok_dev,
+        })
+        log(f"64MB device-lane route: stages {stage_s:.2f}s (find "
+            f"{stats.get('find_s', 0):.2f} decode "
             f"{stats.get('decode_s', 0):.2f} stitch "
             f"{stats.get('stitch_s', 0):.2f}) + tunnel fetch "
-            f"{stats.get('fetch_s', 0):.2f}s; ok={ok64}")
+            f"{stats.get('fetch_s', 0):.2f}s; ok={ok_dev}")
+
+    # ---- phase 5: encode (the half the reference never implements).
+    # Host engine rate + size vs zlib-6, plus the hybrid device path
+    # (host LZ77+trees ‖ device Huffman bit-pack) stage times. ----
+    encode = {}
+    if use_host and os.environ.get("DEFL_BENCH_ENCODE", "1") == "1":
+        from defl_tpu.runtime.native import native_deflate_batch
+        from defl_tpu.runtime.session import device_deflate
+
+        n_enc = min(n_streams, 2048)
+        enc_payloads = payloads[:n_enc]
+        enc_raw = sum(len(p) for p in enc_payloads)
+        t0 = time.perf_counter()
+        _, comps = native_deflate_batch(enc_payloads, level=6)
+        host_enc_s = time.perf_counter() - t0
+        csz = sum(len(c) for c in comps)
+        # exact zlib-6 baseline; unique blocks compressed once (the
+        # corpus cycles non-64-aligned, so a [:64]-extrapolation is
+        # biased ~2%)
+        z6_cache = {}
+        z6 = sum(z6_cache.setdefault(id(p), len(zlib.compress(p, 6)))
+                 for p in enc_payloads)
+        # hybrid device path on a smaller slice (its scatter-add pack is
+        # the known bottleneck — measured rate reported, byte-identity
+        # asserted; auto-routing stays on the host engine)
+        n_dev = min(n_enc, 256)
+        dev_payloads = enc_payloads[:n_dev]
+        est = {}
+        outs = device_deflate(dev_payloads, level=6, stats_out=est)  # warm
+        est = {}
+        t0 = time.perf_counter()
+        outs = device_deflate(dev_payloads, level=6, stats_out=est)
+        dev_enc_s = (time.perf_counter() - t0) * (n_enc / n_dev)
+        enc_ok = all(a == b for a, b in zip(outs, comps[:n_dev]))
+        encode = {
+            "encode_host_MBps": round(enc_raw / host_enc_s / 1e6, 1),
+            "encode_device_MBps": round(enc_raw / dev_enc_s / 1e6, 1),
+            "encode_fields_s": round(est.get("fields_s", 0), 3),
+            "encode_pack_s": round(est.get("pack_s", 0), 3),
+            "encode_size_vs_zlib6": round(csz / z6, 4),
+            "encode_ok": enc_ok,
+        }
+        log(f"encode: host {enc_raw/host_enc_s/1e6:.0f} MB/s | hybrid "
+            f"device {enc_raw/dev_enc_s/1e6:.0f} MB/s (fields "
+            f"{est.get('fields_s', 0):.2f}s pack {est.get('pack_s', 0):.2f}s"
+            f" assemble {est.get('assemble_s', 0):.2f}s) | size vs zlib-6 "
+            f"{csz/z6:.4f}; byte-identical={enc_ok}")
 
     # ---- scaling evidence on the virtual 8-device CPU mesh (SURVEY §6;
     # real multi-chip hardware is absent here, so this measures the
@@ -393,11 +509,16 @@ def _run():
         "block": block,
         "raw_mb": round(raw_bytes / 1e6, 1),
         "note": "value = wall-clock of a measured depth-2 pipeline over "
-                ">=4 batches (device decode ‖ host C++ resolve); bulk "
-                "token fetch excluded as env artifact (14MB/s relay "
-                "tunnel, rate reported; rides PCIe on real hosts)",
+                "distinct batches (device decode ‖ host C++ resolve) with "
+                "the token fetch pre-staged; pipeline_fetch_wall_GBps is "
+                "the TRUE wall including the real per-batch trimmed-token "
+                "fetch over this env's ~10MB/s relay tunnel (~1000x under "
+                "a TPU host's PCIe/DMA; bytes/batch reported for "
+                "real-host projection)",
     }
+    result.update(pipe_fetch)
     result.update(large)
+    result.update(encode)
     result.update(scaling)
     if scaling_eff is not None:
         result["n_devices"] = len(jax.devices())

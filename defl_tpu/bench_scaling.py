@@ -33,7 +33,7 @@ import time
 import zlib
 
 
-def measure(n_streams: int = 256, block: int = 16384, reps: int = 3):
+def measure(n_streams: int = 256, block: int = 32768, reps: int = 3):
     import jax
     import numpy as np
 

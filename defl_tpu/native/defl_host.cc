@@ -503,19 +503,32 @@ void huff_lengths(const uint32_t* freq, int n, int maxlen, uint8_t* lens) {
       bl_count[d < 63 ? d : 63]++;
     }
   }
-  // overflow fixup (zlib gen_bitlen strategy)
+  // Depth-limit fixup with EXACT Kraft accounting.  Clamping deep
+  // leaves to maxlen oversubscribes the tree by a fractional amount per
+  // leaf, so counting clamped leaves (zlib's `overflow -= 2`) can stop
+  // short for tree shapes our builder produces (emitted headers then
+  // carry an oversubscribed codelen tree every conformant decoder
+  // rejects — caught by encoder round-trip fuzz).  Instead measure
+  // oversubscription in integer units of 2^-maxlen and remove exactly
+  // that many: each op turns a leaf at depth d into an internal node
+  // whose children are that leaf one deeper plus a leaf pulled up from
+  // maxlen — net one unit removed, leaf count preserved.
   int overflow = 0;
   for (int d = maxlen + 1; d < 64; d++) overflow += bl_count[d];
   if (overflow) {
     bl_count[maxlen] += overflow;
     for (int d = maxlen + 1; d < 64; d++) bl_count[d] = 0;
-    while (overflow > 0) {
+    int64_t units = 0;
+    for (int d = 1; d <= maxlen; d++)
+      units += (int64_t)bl_count[d] << (maxlen - d);
+    while (units > ((int64_t)1 << maxlen)) {
       int d = maxlen - 1;
-      while (!bl_count[d]) d--;
+      while (d > 0 && !bl_count[d]) d--;
+      if (d == 0) break;  // unreachable: all-at-maxlen can't oversubscribe
       bl_count[d]--;
       bl_count[d + 1] += 2;
       bl_count[maxlen]--;
-      overflow -= 2;
+      units -= 1;
     }
   }
   // assign: leaves sorted by (depth, sym) get lengths from histogram
@@ -567,25 +580,43 @@ int dist_to_sym(uint32_t d) {
 
 struct Token { uint32_t v; };  // <256 literal; else (len<<16)|dist
 
-constexpr int kHashBits = 15;
-constexpr int kHashSize = 1 << kHashBits;
+constexpr int kHash4Bits = 16;
+constexpr int kHash3Bits = 14;
 constexpr int kMinMatch = 3;
 constexpr int kMaxMatch = 258;
 constexpr int kMaxDist = 32768;
+// a 3-byte match beyond this distance costs more bits than 3 literals
+// (dist code + up to 13 extra bits) — zlib applies the same cutoff
+constexpr int kTooFar3 = 4096;
 
+// Two-table matcher (libdeflate-style): 4-byte-hash chains carry the
+// real search (far fewer collisions than 3-byte chains on structured
+// data), and a single-probe 3-byte-hash head recovers nearby length-3
+// matches that the 4-byte hash cannot see.
 struct Matcher {
-  int32_t head[kHashSize];
+  int32_t head4[1 << kHash4Bits];
+  int32_t head3[1 << kHash3Bits];
   int32_t* prev;
 };
 
+inline uint32_t hash4(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return (v * 2654435761u) >> (32 - kHash4Bits);
+}
+
 inline uint32_t hash3(const uint8_t* p) {
-  return (((uint32_t)p[0] << 10) ^ ((uint32_t)p[1] << 5) ^ p[2]) &
-         (kHashSize - 1);
+  uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+  return (v * 506832829u) >> (32 - kHash3Bits);
 }
 
 // Emit one block of tokens with dynamic or fixed or stored encoding,
-// choosing the cheapest.
-void emit_block(BitWriter& w, const Token* toks, int ntok,
+// choosing the cheapest.  Templated over the writer so the same block
+// logic drives both the serial BitWriter and the FieldWriter that feeds
+// the device bit-pack kernel (ops/huffman_pack.py) — identical put()
+// sequences make the two encode paths byte-identical by construction.
+template <class W>
+void emit_block(W& w, const Token* toks, int ntok,
                 const uint8_t* raw, uint64_t rawlen, bool final_blk) {
   uint32_t lit_freq[288] = {0}, dist_freq[32] = {0};
   uint64_t extra_bits = 0;
@@ -599,7 +630,11 @@ void emit_block(BitWriter& w, const Token* toks, int ntok,
   }
   lit_freq[256]++;
 
-  uint8_t ll[288], dl[32];
+  // zero-init the full arrays: huff_lengths fills only [0, n) but
+  // assign_codes scans all 288/32 — stack garbage in ll[286..287] /
+  // dl[30..31] would shift every canonical code (uninitialized read,
+  // found by cross-process-nondeterministic encoder fuzz)
+  uint8_t ll[288] = {0}, dl[32] = {0};
   huff_lengths(lit_freq, 286, 15, ll);
   huff_lengths(dist_freq, 30, 15, dl);
   bool any_dist = false;
@@ -715,32 +750,30 @@ void emit_block(BitWriter& w, const Token* toks, int ntok,
   w.put_code(elc[256], ell[256]);
 }
 
-struct LevelCfg { int max_chain; bool lazy; int nice; };
+// zlib's configuration_table tuning: good = prev length above which the
+// chain search shortens 4x; lazy_max = 0 for greedy levels, else the
+// prev length at/above which lazy evaluation stops; nice = stop
+// searching at this length.
+struct LevelCfg { int max_chain; int good; int lazy_max; int nice; };
 LevelCfg level_cfg(int level) {
   switch (level < 1 ? 1 : level > 9 ? 9 : level) {
-    case 1: return {8, false, 16};
-    case 2: return {16, false, 32};
-    case 3: return {32, false, 64};
-    case 4: return {48, true, 64};
-    case 5: return {96, true, 128};
-    case 6: return {192, true, 258};
-    case 7: return {384, true, 258};
-    case 8: return {1024, true, 258};
-    default: return {4096, true, 258};
+    case 1: return {4, 4, 0, 8};
+    case 2: return {8, 4, 0, 16};
+    case 3: return {32, 4, 0, 32};
+    case 4: return {16, 4, 4, 16};
+    case 5: return {32, 8, 16, 32};
+    case 6: return {128, 8, 16, 128};
+    case 7: return {256, 8, 32, 128};
+    case 8: return {1024, 32, 128, 258};
+    default: return {4096, 32, 258, 258};
   }
 }
 
-int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
-                 uint64_t dstcap, uint64_t* dstlen, int level, int flags) {
-  BitWriter w{dst, dst + dstcap};
+// Matcher + block loop, templated over the bit sink (see emit_block).
+// Ends with a byte-align; the zlib wrapper stays with the caller.
+template <class W>
+int deflate_core(const uint8_t* src, uint64_t n, W& w, int level) {
   LevelCfg cfg = level_cfg(level);
-
-  if (flags & 1) {
-    uint32_t cmf = 0x78, flg = 0;
-    uint32_t rem = ((cmf << 8) | flg) % 31;
-    if (rem) flg += 31 - rem;
-    w.put(cmf, 8); w.put(flg, 8);
-  }
 
   if (n == 0) {
     w.put(1, 1); w.put(1, 2);
@@ -749,7 +782,8 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
     Matcher m;
     m.prev = (int32_t*)malloc(n * sizeof(int32_t));
     if (!m.prev) return R_ERR;
-    memset(m.head, -1, sizeof(m.head));
+    memset(m.head4, -1, sizeof(m.head4));
+    memset(m.head3, -1, sizeof(m.head3));
 
     const int kBlockTokens = 16384;
     Token* toks = (Token*)malloc(kBlockTokens * sizeof(Token));
@@ -757,15 +791,33 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
     uint64_t blk_start = 0;
 
     int64_t last_ins = (int64_t)n - kMinMatch + 1;
+    int64_t last_ins4 = (int64_t)n - 4 + 1;
     int64_t ins = 0;
+    auto insert_one = [&](int64_t k) {
+      if (k < last_ins4) {
+        uint32_t h = hash4(src + k);
+        m.prev[k] = m.head4[h];
+        m.head4[h] = (int32_t)k;
+      } else {
+        m.prev[k] = -1;
+      }
+      m.head3[hash3(src + k)] = (int32_t)k;
+    };
     auto advance_insert = [&](int64_t limit) {
       int64_t stop = limit < last_ins ? limit : last_ins;
-      while (ins < stop) {
-        uint32_t h = hash3(src + ins);
-        m.prev[ins] = m.head[h];
-        m.head[h] = (int32_t)ins;
-        ins++;
+      while (ins < stop) insert_one(ins++);
+    };
+    auto match_len = [&](int64_t j, int64_t i, int limit) -> int {
+      int l = 0;
+      while (l + 8 <= limit) {
+        uint64_t a, bb;
+        memcpy(&a, src + j + l, 8);
+        memcpy(&bb, src + i + l, 8);
+        if (a != bb) return l + (__builtin_ctzll(a ^ bb) >> 3);
+        l += 8;
       }
+      while (l < limit && src[j + l] == src[i + l]) l++;
+      return l;
     };
     auto longest = [&](int64_t i, int best_in, uint32_t* out_d) -> int {
       int best = best_in;
@@ -774,30 +826,35 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
       int limit = limit64 > kMaxMatch ? kMaxMatch : (int)limit64;
       if (limit < kMinMatch) return 0;
       int64_t lo = i - kMaxDist;
-      int32_t j = m.head[hash3(src + i)];
-      int chain = cfg.max_chain;
-      while (j >= 0 && j >= lo && chain-- && best < limit) {
-        if (src[j + best] == src[i + best]) {
-          int l = 0;
-          while (l + 8 <= limit) {
-            uint64_t a, bb;
-            memcpy(&a, src + j + l, 8);
-            memcpy(&bb, src + i + l, 8);
-            if (a != bb) {
-              l += __builtin_ctzll(a ^ bb) >> 3;
-              goto done_len;
-            }
-            l += 8;
-          }
-          while (l < limit && src[j + l] == src[i + l]) l++;
-        done_len:
-          if (l > best) {
+      if (lo < 0) lo = 0;
+      // single probe for a nearby 3-byte match (4-byte chains can't see
+      // them); beyond kTooFar3 a length-3 match loses to literals
+      if (best < kMinMatch) {
+        int32_t j3 = m.head3[hash3(src + i)];
+        if (j3 >= 0 && j3 >= lo && i - j3 <= kTooFar3) {
+          int l = match_len(j3, i, limit);
+          if (l >= kMinMatch && l > best) {
             best = l;
-            best_d = (uint32_t)(i - j);
-            if (l >= cfg.nice) break;
+            best_d = (uint32_t)(i - j3);
           }
         }
-        j = m.prev[j];
+      }
+      if (i < last_ins4) {
+        int32_t j = m.head4[hash4(src + i)];
+        int chain = cfg.max_chain;
+        if (best_in >= cfg.good) chain >>= 2;  // prev match already good
+        while (j >= 0 && j >= lo && chain-- && best < limit) {
+          if (src[j + best] == src[i + best]) {
+            int l = match_len(j, i, limit);
+            if (l > best
+                && (l > kMinMatch || (uint32_t)(i - j) <= kTooFar3)) {
+              best = l;
+              best_d = (uint32_t)(i - j);
+              if (l >= cfg.nice) break;
+            }
+          }
+          j = m.prev[j];
+        }
       }
       if (best >= kMinMatch && best_d) { *out_d = best_d; return best; }
       return 0;
@@ -810,35 +867,62 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
       blk_start = blk_end;
     };
 
+    // zlib deflate_slow structure: carry the previous position's match
+    // and re-evaluate lazily at EVERY position (a one-shot defer misses
+    // chains of improving matches on structured data), with the
+    // good/lazy/nice speed heuristics from zlib's configuration table.
+    // Levels 1-3 (lazy_max == 0) run the greedy variant.
     int64_t i = 0;
+    int prev_len = 0;
+    uint32_t prev_d = 0;
+    bool have_prev = false;
     while ((uint64_t)i < n) {
       advance_insert(i);
       uint32_t d = 0;
-      int len = (i + kMinMatch <= (int64_t)n) ? longest(i, kMinMatch - 1, &d) : 0;
-      if (len && cfg.lazy && len < cfg.nice && i + 1 + kMinMatch <= (int64_t)n) {
-        advance_insert(i + 1);
-        uint32_t d2 = 0;
-        int len2 = longest(i + 1, len, &d2);
-        if (len2 > len) {
-          toks[ntok++].v = src[i];
+      int len = 0;
+      bool skip_search = have_prev && (prev_len >= cfg.lazy_max
+                                       || prev_len >= cfg.nice);
+      if (!skip_search && i + kMinMatch <= (int64_t)n)
+        len = longest(i, have_prev ? prev_len : kMinMatch - 1, &d);
+      if (have_prev) {
+        if (len > prev_len) {
+          // current position wins: the deferred byte becomes a literal
+          toks[ntok++].v = src[i - 1];
+          prev_len = len;
+          prev_d = d;
+          if (ntok == kBlockTokens) flush(false, i);
           i++;
-          len = len2; d = d2;
+        } else {
+          toks[ntok++].v = ((uint32_t)prev_len << 16) | prev_d;
+          i = (i - 1) + prev_len;
+          have_prev = false;
+          // never finalize mid-loop: a flush landing exactly at
+          // end-of-input would otherwise mark its block final AND the
+          // post-loop else branch would append a second empty final
+          // block.  Finalization happens only after the loop.
           if (ntok == kBlockTokens) flush(false, i);
         }
+        continue;
       }
-      if (len) {
+      if (len >= kMinMatch && cfg.lazy_max && len < cfg.lazy_max
+          && len < cfg.nice && i + 1 + kMinMatch <= (int64_t)n) {
+        prev_len = len;   // defer: maybe i+1 has a longer match
+        prev_d = d;
+        have_prev = true;
+        i++;
+        continue;
+      }
+      if (len >= kMinMatch) {
         toks[ntok++].v = ((uint32_t)len << 16) | d;
         i += len;
       } else {
         toks[ntok++].v = src[i];
         i++;
       }
-      // never finalize mid-loop: a flush landing exactly at end-of-input
-      // would otherwise mark its block final AND the post-loop else branch
-      // would append a second empty final block (garbage before the
-      // trailer).  Finalization is handled only after the loop.
       if (ntok == kBlockTokens) flush(false, i);
     }
+    if (have_prev)  // unreachable by construction; containment only
+      toks[ntok++].v = ((uint32_t)prev_len << 16) | prev_d;
     if (ntok || blk_start != n) flush(true, n);
     else {
       // tokens flushed exactly at the end but block wasn't final:
@@ -850,6 +934,20 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
   }
 
   w.align();
+  return R_OK;
+}
+
+int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
+                 uint64_t dstcap, uint64_t* dstlen, int level, int flags) {
+  BitWriter w{dst, dst + dstcap};
+  if (flags & 1) {
+    uint32_t cmf = 0x78, flg = 0;
+    uint32_t rem = ((cmf << 8) | flg) % 31;
+    if (rem) flg += 31 - rem;
+    w.put(cmf, 8); w.put(flg, 8);
+  }
+  int r = deflate_core(src, n, w, level);
+  if (r != R_OK) return r;
   if (flags & 1) {
     uint32_t ad = adler32_impl(src, n, 1);
     w.put(ad >> 24, 8); w.put((ad >> 16) & 0xFF, 8);
@@ -858,6 +956,43 @@ int deflate_impl(const uint8_t* src, uint64_t n, uint8_t* dst,
   if (w.overflow) return R_EFULL;
   *dstlen = (uint64_t)(w.p - dst);
   return R_OK;
+}
+
+// ---------------------------------------- device-encode field export ------
+// The host half of the hybrid TPU encoder: run the matcher + tree build
+// + block logic (deflate_core) but record every put() as a (value <=16
+// bits, nbits) FIELD instead of packing bits.  The device bit-pack
+// kernel (ops/huffman_pack.py) then concatenates fields lane-parallel
+// (prefix-sum of nbits -> word scatter) — byte-identical to BitWriter
+// output by construction.  ≙ the encode half the reference declares but
+// never builds (include/defl/defl.h:17-25).
+struct FieldWriter {
+  uint32_t* f;
+  int64_t cap;
+  int64_t n = 0;
+  int64_t bits = 0;
+  bool overflow = false;
+
+  void put(uint32_t v, int nb) {
+    if (!nb) return;
+    if (n >= cap) { overflow = true; return; }
+    f[n++] = ((uint32_t)nb << 16) | (v & 0xFFFF);
+    bits += nb;
+  }
+  void put_code(uint32_t code, int nb) { put(bitrev(code, nb), nb); }
+  void align() { if (bits & 7) put(0, (int)(8 - (bits & 7))); }
+};
+
+int deflate_fields_impl(const uint8_t* src, uint64_t n, uint32_t* fields,
+                        int64_t fields_cap, int64_t* n_fields,
+                        int64_t* total_bits, uint32_t* adler, int level) {
+  FieldWriter w{fields, fields_cap};
+  int r = deflate_core(src, n, w, level);
+  *n_fields = w.n;
+  *total_bits = w.bits;
+  *adler = adler32_impl(src, n, 1);
+  if (r != R_OK) return r;
+  return w.overflow ? R_EFULL : R_OK;
 }
 
 // ----------------------------------------------------- token resolver -----
@@ -932,7 +1067,11 @@ static inline bool resolve_token_exact(const ResolveArgs& a, uint32_t v,
                                        int64_t& p, int64_t row_cap) {
   uint32_t kind = v >> 30;
   if (kind == 1) {
-    if (p + 2 > row_cap) return false;  // malformed dst_len: contain
+    // bound by the token's ACTUAL width: a single literal landing on the
+    // last row byte is valid (a fixed p+2 check truncated the final
+    // byte of capacity-exact lanes — caught by the full-corpus bench)
+    int64_t width = 1 + ((v >> 16) & 1);
+    if (p + width > row_cap) return false;  // malformed dst_len: contain
     out[p++] = (uint8_t)v;
     if (v & (1u << 16)) out[p++] = (uint8_t)(v >> 8);
     return true;
@@ -1792,6 +1931,36 @@ int dt_inflate_span(const uint8_t* src, uint64_t srclen, int64_t bit_start,
                     uint64_t dst_start, uint64_t* dstlen, int64_t* end_bit) {
   return inflate_span_impl(src, srclen, bit_start, bit_limit, dst, dstcap,
                            dst_start, dstlen, end_bit);
+}
+
+// Host half of the hybrid TPU encode: per stream, matcher + trees +
+// block layout, exported as (value, nbits) fields into fields[i*F..],
+// for the device bit-pack kernel.  results[i] = R_EFULL when a stream's
+// fields exceed F (caller reroutes that lane to the serial encoder).
+int dt_deflate_fields_batch(const uint8_t* const* srcs,
+                            const uint64_t* srclens,
+                            uint32_t* fields, int64_t F,
+                            int64_t* n_fields, int64_t* total_bits,
+                            uint32_t* adlers, int32_t* results,
+                            int64_t n, int level, int n_threads) {
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      results[i] = deflate_fields_impl(srcs[i], srclens[i], fields + i * F,
+                                       F, &n_fields[i], &total_bits[i],
+                                       &adlers[i], level);
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
 }
 
 int dt_deflate_batch(const uint8_t* const* srcs, const uint64_t* srclens,

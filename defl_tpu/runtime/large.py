@@ -132,6 +132,10 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
 
         use_device = os.environ.get("DEFL_LARGE_DEVICE") == "1"
 
+    from defl_tpu import metrics
+
+    metrics.inc("large_streams")
+    metrics.inc("large_bytes_in", len(data))
     if not use_device:
         return _host_parallel(body, data, zf, flags, cap_total, grow,
                               seg_bytes, n_threads, st)

@@ -103,6 +103,11 @@ def get_lib():
             u8p, ctypes.c_uint64, i64p, ctypes.c_int64,
             u32p, ctypes.c_int64, i32p, i32p, i32p, i64p,
             u8p, ctypes.c_uint64, u64p, i64p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.dt_deflate_fields_batch.restype = ctypes.c_int
+        lib.dt_deflate_fields_batch.argtypes = [
+            pptr, u64p, u32p, ctypes.c_int64, i64p, i64p, u32p, i32p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int]
         lib.dt_inflate_large.restype = ctypes.c_int
         lib.dt_inflate_large.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int,
@@ -255,6 +260,53 @@ def native_inflate_batch(payloads, dst_capacities, flags: int = 1,
             if isinstance(dst_capacities, int) else list(dst_capacities))
     return _batch_call("dt_inflate_batch", payloads, caps, flags,
                        n_threads=n_threads)
+
+
+def native_deflate_fields(payloads, level: int = 6, F: int | None = None,
+                          n_threads=None):
+    """Host half of the hybrid TPU encode (dt_deflate_fields_batch):
+    LZ77 matching + Huffman trees + block layout per payload, exported
+    as (value, nbits) field arrays for the device bit-pack kernel
+    (ops/huffman_pack.pack_fields).
+
+    Returns (fields u32 [N, F], n_fields i64 [N], total_bits i64 [N],
+    adlers u32 [N], results) — results[i] is EFULL when payload i
+    overflowed F (route that lane to the serial encoder).
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(payloads)
+    srcs = [np.frombuffer(bytes(p), np.uint8) if p else
+            np.zeros(1, np.uint8) for p in payloads]
+    if F is None:
+        # worst case one field per input byte (all-literal / stored) plus
+        # per-block header overhead, bucketed for stable device shapes
+        worst = max(len(p) for p in payloads) + 512
+        F = 1024
+        while F < worst:
+            F *= 2
+    fields = np.zeros((n, F), np.uint32)
+    n_fields = np.zeros(n, np.int64)
+    total_bits = np.zeros(n, np.int64)
+    adlers = np.zeros(n, np.uint32)
+    results = (ctypes.c_int32 * n)()
+    src_ptrs = (ctypes.c_void_p * n)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs])
+    srclens = (ctypes.c_uint64 * n)(*[len(p) for p in payloads])
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.dt_deflate_fields_batch(
+        src_ptrs, srclens,
+        fields.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), F,
+        n_fields.ctypes.data_as(i64p), total_bits.ctypes.data_as(i64p),
+        adlers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        results, n, level, n_threads)
+    return (fields, n_fields, total_bits, adlers,
+            [Result(int(r)) for r in results])
 
 
 def native_adler32(data: bytes, start: int = 1) -> int:

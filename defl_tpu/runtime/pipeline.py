@@ -68,7 +68,12 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     T = step_budget(C)
 
     def default_fetch(tokens, st):
-        return (np.asarray(jnp.transpose(tokens)), np.asarray(st["dst_pos"]),
+        # fetch only the occupied token rows (tok_rows = chunks actually
+        # run x slots/chunk; finished batches leave the tail all-NOP),
+        # bucketed so the slice/transpose reuses a few compiled shapes
+        rows = min(tokens.shape[0], -(-int(st["tok_rows"]) // 4096) * 4096)
+        return (np.asarray(jnp.transpose(tokens[:rows])),
+                np.asarray(st["dst_pos"]),
                 np.asarray(st["status"]), np.asarray(st["bitpos"]))
 
     fetch = _fetch or default_fetch

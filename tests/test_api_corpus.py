@@ -166,3 +166,23 @@ def test_native_fast_path_preserves_resumable_semantics():
     assert st.resize_output(_cap(payload)) is Result.OK
     assert st.run() is Result.OK
     assert st.output == payload
+
+
+def test_metrics_counters_wired():
+    """Observability counters (≙ the reference's UNZ_STATS, declared but
+    never wired there — src/common.h:181-187) must move when the real
+    entry points run."""
+    import zlib as _z
+
+    from defl_tpu import metrics
+    from defl_tpu.api import inflate_buffer
+
+    metrics.reset()
+    payload = CORPUS["text"]
+    out = inflate_buffer(_z.compress(payload, 6))
+    assert out == payload
+    snap = metrics.snapshot()
+    assert snap.get("inflate_buffer_calls", 0) == 1
+    assert snap.get("inflate_bytes_out", 0) == len(payload)
+    metrics.reset()
+    assert metrics.snapshot() == {}

@@ -102,6 +102,109 @@ def test_incompressible_uses_stored():
     assert zlib.decompress(comp, -15) == raw
 
 
+def test_size_beats_zlib6_on_bench_mix():
+    """North-star size gate (BASELINE.md: encode <= zlib-level-6 size) on
+    the bench corpus mix — the aggregate that bench.py reports."""
+    from defl_tpu.bench import make_silesia_like
+    from defl_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    blocks = make_silesia_like(4 << 20, 65536)
+    ours = sum(len(native.native_deflate(p, 6)) for p in blocks)
+    zl6 = sum(len(zlib.compress(p, 6)) for p in blocks)
+    assert ours <= zl6, f"ours={ours} zlib6={zl6}"
+
+
+def test_encoder_fuzz_sequence_dependent():
+    """Cross-engine encoder fuzz with a long in-process call sequence.
+
+    Regression for two latent encoder bugs that only sequence-dependent
+    fuzz exposed: (a) assign_codes reading ll[286..287]/dl[30..31] that
+    huff_lengths(n=286/30) never initialised — stack garbage shifted
+    every canonical code; (b) the depth-limit fixup in huff_lengths
+    under-counting oversubscription (emitted an oversubscribed codelen
+    tree).  Both were nondeterministic across processes but deterministic
+    given the same preceding call sequence."""
+    import random
+
+    from defl_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(11)
+    corpus = list(CORPUS.values())
+    for it in range(300):
+        kind = rng.randrange(5)
+        if kind == 0:
+            p = rng.randbytes(rng.randrange(0, 3000))
+        elif kind == 1:
+            p = rng.randbytes(rng.choice([1, 2, 3, 17])) * rng.randrange(1, 2000)
+        elif kind == 2:
+            p = bytes(rng.choice(corpus)) + rng.randbytes(60)
+        elif kind == 3:
+            p = b"\0" * rng.randrange(0, 100000)
+        else:
+            p = bytes(bytearray(rng.randbytes(150)) * rng.randrange(1, 60))
+        lvl = rng.choice([1, 2, 4, 6, 9])
+        c = native.native_deflate(p, lvl)
+        assert zlib.decompress(c) == p, (it, kind, lvl, len(p))
+
+
+class TestDeviceDeflate:
+    """Hybrid TPU encode (host LZ77 + trees -> device Huffman bit-pack).
+
+    Fills the encode half the reference never implements
+    (include/defl/defl.h:17-25) TPU-natively: dt_deflate_fields_batch
+    exports (value, nbits) fields, ops/huffman_pack.pack_fields
+    concatenates them lane-parallel on device."""
+
+    def _payloads(self):
+        import random
+
+        rng = random.Random(5)
+        return (list(CORPUS.values())[:12]
+                + [b"", b"x", rng.randbytes(70000), b"\0" * 50000,
+                   rng.randbytes(64) * 500])
+
+    def test_byte_identical_to_host_encoder(self):
+        from defl_tpu.runtime import native
+        from defl_tpu.runtime.session import device_deflate
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        payloads = self._payloads()
+        st = {}
+        outs = device_deflate(payloads, level=6, stats_out=st)
+        _, host = native.native_deflate_batch(payloads, level=6)
+        for i, (a, b) in enumerate(zip(outs, host)):
+            assert a == b, i
+        assert st["device_fallbacks"] == []
+
+    def test_roundtrip_and_raw_mode(self):
+        from defl_tpu.runtime import native
+        from defl_tpu.runtime.session import device_deflate
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        payloads = self._payloads()
+        for flags, wbits in ((FLAG_ZLIB, 15), (0, -15)):
+            outs = device_deflate(payloads, level=6, flags=flags)
+            for o, p in zip(outs, payloads):
+                assert zlib.decompress(o, wbits) == p
+
+    def test_batch_api_device_backend(self):
+        from defl_tpu.api import deflate_batch
+        from defl_tpu.runtime import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        payloads = self._payloads()
+        outs = deflate_batch(payloads, backend="device")
+        for o, p in zip(outs, payloads):
+            assert zlib.decompress(o) == p
+
+
 class TestDeflateStream:
     def test_streaming_compress_roundtrip(self):
         from defl_tpu.core.deflate_ref import DeflateStream

@@ -154,3 +154,24 @@ def test_shared_refill_window_words_exact():
     for n in range(4):
         assert ww[n] <= pos[n] < ww[n] + ib.WIN
         np.testing.assert_array_equal(win[n], bpad[ww[n] : ww[n] + ib.WIN])
+
+
+@needs_native
+def test_resolver_literal_on_last_row_byte():
+    # round-4 regression: the adversarial-token containment bounded
+    # literal tokens by the PAIR width (p + 2 > row_cap), truncating the
+    # final byte of any capacity-exact lane whose last token is a single
+    # literal (1638/8192 bench lanes).  Bound by the token's actual width.
+    from defl_tpu.runtime.native import native_resolve_tokens
+
+    C = 64
+    # 62 bytes via 31 pair-literals, a single literal at byte 62, then
+    # the failing case: a single literal landing exactly on byte 63 (the
+    # last row byte, p + 2 > row_cap but p + 1 == row_cap)
+    toks = [(1 << 30) | (1 << 16) | (0x41 << 8) | 0x42] * 31
+    toks += [(1 << 30) | 0x59, (1 << 30) | 0x5A]
+    tokens = np.asarray([toks], np.uint32)
+    dst_len = np.asarray([64], np.int32)
+    out = native_resolve_tokens(tokens, np.zeros((1, 4), np.uint32),
+                                dst_len, C)
+    assert out[0].tobytes() == b"BA" * 31 + b"YZ"
