@@ -430,30 +430,39 @@ def _run():
         z6_cache = {}
         z6 = sum(z6_cache.setdefault(id(p), len(zlib.compress(p, 6)))
                  for p in enc_payloads)
-        # hybrid device path on a smaller slice (its scatter-add pack is
-        # the known bottleneck — measured rate reported, byte-identity
-        # asserted; auto-routing stays on the host engine)
-        n_dev = min(n_enc, 256)
+        # hybrid device path (lockstep reservoir-scan pack).  Stage rate
+        # excludes the slots fetch (env tunnel, same ~1000x-under-PCIe
+        # artifact as the decode pipeline; fetch seconds reported).
+        n_dev = min(n_enc, 1024)
         dev_payloads = enc_payloads[:n_dev]
+        dev_raw = sum(len(p) for p in dev_payloads)
         est = {}
         outs = device_deflate(dev_payloads, level=6, stats_out=est)  # warm
         est = {}
         t0 = time.perf_counter()
         outs = device_deflate(dev_payloads, level=6, stats_out=est)
-        dev_enc_s = (time.perf_counter() - t0) * (n_enc / n_dev)
+        dev_wall_s = time.perf_counter() - t0
+        stage_s = (est.get("fields_s", 0) + est.get("pack_s", 0)
+                   + est.get("assemble_s", 0))
         enc_ok = all(a == b for a, b in zip(outs, comps[:n_dev]))
         encode = {
             "encode_host_MBps": round(enc_raw / host_enc_s / 1e6, 1),
-            "encode_device_MBps": round(enc_raw / dev_enc_s / 1e6, 1),
+            "encode_device_stage_MBps": round(dev_raw / stage_s / 1e6, 1),
+            "encode_device_wall_MBps": round(dev_raw / dev_wall_s / 1e6, 1),
+            "encode_pack_MBps": round(
+                dev_raw / max(est.get("pack_s", 1e-9), 1e-9) / 1e6, 1),
             "encode_fields_s": round(est.get("fields_s", 0), 3),
             "encode_pack_s": round(est.get("pack_s", 0), 3),
+            "encode_fetch_s": round(est.get("fetch_s", 0), 3),
             "encode_size_vs_zlib6": round(csz / z6, 4),
             "encode_ok": enc_ok,
         }
         log(f"encode: host {enc_raw/host_enc_s/1e6:.0f} MB/s | hybrid "
-            f"device {enc_raw/dev_enc_s/1e6:.0f} MB/s (fields "
+            f"device stages {dev_raw/stage_s/1e6:.0f} MB/s (fields "
             f"{est.get('fields_s', 0):.2f}s pack {est.get('pack_s', 0):.2f}s"
-            f" assemble {est.get('assemble_s', 0):.2f}s) | size vs zlib-6 "
+            f" [device {dev_raw/max(est.get('pack_s',1e-9),1e-9)/1e6:.0f} "
+            f"MB/s] compact {est.get('assemble_s', 0):.2f}s) + tunnel "
+            f"fetch {est.get('fetch_s', 0):.2f}s | size vs zlib-6 "
             f"{csz/z6:.4f}; byte-identical={enc_ok}")
 
     # ---- scaling evidence on the virtual 8-device CPU mesh (SURVEY §6;
@@ -464,15 +473,20 @@ def _run():
     if os.environ.get("DEFL_BENCH_SCALING", "1") == "1":
         import subprocess
 
-        try:
-            r = subprocess.run(
-                [sys.executable, "-m", "defl_tpu.bench_scaling"],
-                capture_output=True, timeout=900,
-                env={**os.environ, "JAX_PLATFORMS": "cpu"})
-            scaling = json.loads(r.stdout.decode().strip().splitlines()[-1])
-            log(f"virtual-mesh scaling: {scaling}")
-        except Exception as e:  # pragma: no cover
-            log(f"scaling subprocess failed: {e}")
+        for mode in ("scaling", "overhead"):
+            try:
+                env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+                if mode == "overhead":  # clean single-device comparison
+                    env.pop("XLA_FLAGS", None)
+                r = subprocess.run(
+                    [sys.executable, "-m", "defl_tpu.bench_scaling", mode],
+                    capture_output=True, timeout=1200, env=env)
+                part = json.loads(
+                    r.stdout.decode().strip().splitlines()[-1])
+                scaling.update(part)
+                log(f"virtual-mesh {mode}: {part}")
+            except Exception as e:  # pragma: no cover
+                log(f"{mode} subprocess failed: {e}")
 
     # ---- multi-chip scaling (runs only on real multi-device slices) ----
     scaling_eff = None

@@ -1933,6 +1933,64 @@ int dt_inflate_span(const uint8_t* src, uint64_t srclen, int64_t bit_start,
                            dst_start, dstlen, end_bit);
 }
 
+// Companion of the device lockstep pack (ops/huffman_pack.py
+// pack_fields_scan): the emission schedule is a pure function of the
+// field nbits sequence, so this reconstructs per-lane output word
+// positions from the fields the host generated, gathers the used slots,
+// and appends the final partial word — no flags plane crosses the link.
+int dt_encode_compact(const uint32_t* fields, const uint32_t* slots,
+                      int64_t N, int64_t F, const int64_t* n_fields,
+                      const uint32_t* final_lo,
+                      uint8_t* const* dsts, const uint64_t* dstcaps,
+                      uint64_t* dstlens, int n_threads) {
+  std::atomic<int64_t> next{0};
+  std::atomic<int> err{0};
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= N) return;
+      const uint32_t* fr = fields + i * F;
+      const uint32_t* sr = slots + i * F;
+      uint8_t* d = dsts[i];
+      uint64_t cap = dstcaps[i];
+      int64_t nf = n_fields[i];
+      if (nf > F) nf = F;
+      uint64_t w = 0;
+      int nres = 0;
+      int64_t bits = 0;
+      for (int64_t t = 0; t < nf; t++) {
+        int nb = (int)(fr[t] >> 16);
+        bits += nb;
+        nres += nb;
+        if (nres >= 32) {
+          if (w * 4 + 4 > cap) { err.store(1); return; }
+          memcpy(d + w * 4, &sr[t], 4);
+          w++;
+          nres -= 32;
+        }
+      }
+      uint64_t nbytes = (uint64_t)((bits + 7) / 8);
+      if (nres > 0) {
+        if (nbytes > cap) { err.store(1); return; }
+        uint32_t tail = final_lo[i];
+        for (uint64_t k = w * 4; k < nbytes; k++) {
+          d[k] = (uint8_t)tail;
+          tail >>= 8;
+        }
+      }
+      dstlens[i] = nbytes;
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+  return err.load() ? R_EFULL : 0;
+}
+
 // Host half of the hybrid TPU encode: per stream, matcher + trees +
 // block layout, exported as (value, nbits) fields into fields[i*F..],
 // for the device bit-pack kernel.  results[i] = R_EFULL when a stream's

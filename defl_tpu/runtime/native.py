@@ -25,6 +25,7 @@ _SRC_PATH = os.path.join(_NATIVE_DIR, "defl_host.cc")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_fields_buf = None  # shared encode-fields buffer (see native_deflate_fields)
 
 
 def _build() -> bool:
@@ -108,6 +109,10 @@ def get_lib():
         lib.dt_deflate_fields_batch.argtypes = [
             pptr, u64p, u32p, ctypes.c_int64, i64p, i64p, u32p, i32p,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+        lib.dt_encode_compact.restype = ctypes.c_int
+        lib.dt_encode_compact.argtypes = [
+            u32p, u32p, ctypes.c_int64, ctypes.c_int64, i64p, u32p,
+            pptr, u64p, u64p, ctypes.c_int]
         lib.dt_inflate_large.restype = ctypes.c_int
         lib.dt_inflate_large.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int,
@@ -284,11 +289,19 @@ def native_deflate_fields(payloads, level: int = 6, F: int | None = None,
     if F is None:
         # worst case one field per input byte (all-literal / stored) plus
         # per-block header overhead, bucketed for stable device shapes
+        # (multiple-of-8K buckets: a power-of-2 bucket wastes up to 2x on
+        # 64KB+overhead inputs, and rows beyond n_fields are never read)
         worst = max(len(p) for p in payloads) + 512
-        F = 1024
-        while F < worst:
-            F *= 2
-    fields = np.zeros((n, F), np.uint32)
+        F = max(1024, -(-worst // 8192) * 8192)
+    # reuse one cached buffer across calls: first-touch page faults on a
+    # fresh multi-hundred-MB allocation cost multiples of the actual
+    # field generation (measured 5s vs 1s per 2048x64KB batch).  The
+    # returned array IS the shared buffer — callers consume it (device
+    # upload) before the next call, which every current caller does.
+    global _fields_buf
+    if _fields_buf is None or _fields_buf.shape != (n, F):
+        _fields_buf = np.empty((n, F), np.uint32)
+    fields = _fields_buf
     n_fields = np.zeros(n, np.int64)
     total_bits = np.zeros(n, np.int64)
     adlers = np.zeros(n, np.uint32)
@@ -307,6 +320,38 @@ def native_deflate_fields(payloads, level: int = 6, F: int | None = None,
         results, n, level, n_threads)
     return (fields, n_fields, total_bits, adlers,
             [Result(int(r)) for r in results])
+
+
+def native_encode_compact(fields, slots, n_fields, final_lo, total_bits,
+                          n_threads=None):
+    """Gather the used word slots of the device lockstep pack into dense
+    per-lane compressed bodies (dt_encode_compact).  Returns list[bytes]
+    (raw deflate bodies, no zlib framing)."""
+    import numpy as np
+
+    lib = get_lib()
+    fields = np.ascontiguousarray(fields, dtype=np.uint32)
+    slots = np.ascontiguousarray(slots, dtype=np.uint32)
+    n_fields = np.ascontiguousarray(n_fields, dtype=np.int64)
+    final_lo = np.ascontiguousarray(final_lo, dtype=np.uint32)
+    N, F = fields.shape
+    caps = [(int(tb) + 7) // 8 for tb in total_bits]
+    dsts = [np.empty(max(c, 1), np.uint8) for c in caps]
+    dst_ptrs = (ctypes.c_void_p * N)(
+        *[d.ctypes.data_as(ctypes.c_void_p).value for d in dsts])
+    dstcaps = (ctypes.c_uint64 * N)(*[len(d) for d in dsts])
+    dstlens = (ctypes.c_uint64 * N)()
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    r = lib.dt_encode_compact(
+        fields.ctypes.data_as(u32p), slots.ctypes.data_as(u32p), N, F,
+        n_fields.ctypes.data_as(i64p), final_lo.ctypes.data_as(u32p),
+        dst_ptrs, dstcaps, dstlens, n_threads)
+    if r != 0:
+        raise RuntimeError("encode compact overflow")
+    return [dsts[i][: dstlens[i]].tobytes() for i in range(N)]
 
 
 def native_adler32(data: bytes, start: int = 1) -> int:

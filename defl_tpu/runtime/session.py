@@ -342,19 +342,24 @@ def batch_inflate(streams, flags=FLAG_ZLIB, backend="auto", dictionary=None,
     return results, outputs
 
 
-def device_deflate(payloads, level=6, flags=FLAG_ZLIB, stats_out=None):
+def device_deflate(payloads, level=6, flags=FLAG_ZLIB, stats_out=None,
+                   pack="scan"):
     """Hybrid TPU encode: host C++ computes LZ77 tokens + Huffman trees
     + block layout as (value, nbits) fields; the device concatenates the
-    fields lane-parallel (ops/huffman_pack.pack_fields — prefix-sum of
-    bit lengths, word scatter).  Byte-identical to the serial C++
-    encoder by construction (both consume the same templated put()
-    sequence).  Fills the encode half the reference never implements
-    (include/defl/defl.h:17-25).  Returns list[bytes]."""
+    fields lane-parallel (ops/huffman_pack).  Byte-identical to the
+    serial C++ encoder by construction (both consume the same templated
+    put() sequence).  Fills the encode half the reference never
+    implements (include/defl/defl.h:17-25).  Returns list[bytes].
+
+    pack="scan" (default) runs the lockstep reservoir scan —
+    fused-elementwise speed, mirror of the decode kernel; the host
+    compactor reconstructs word positions from the nbits schedule.
+    pack="scatter" runs the prefix-sum + scatter-add variant (simpler,
+    but XLA:TPU serialises scatters per element)."""
     import time
 
     import jax.numpy as jnp
 
-    from defl_tpu.ops.huffman_pack import pack_fields
     from defl_tpu.runtime import native
 
     payloads = [bytes(p) for p in payloads]
@@ -364,18 +369,37 @@ def device_deflate(payloads, level=6, flags=FLAG_ZLIB, stats_out=None):
         native.native_deflate_fields(payloads, level=level)
     st["fields_s"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    W = 1024
-    while W * 32 < int(total_bits.max()) + 32:
-        W *= 2
-    words, tb = pack_fields(jnp.asarray(fields),
-                            jnp.asarray(n_fields.astype(np.int32)),
-                            n_words=W)
-    wb = np.asarray(words)
-    st["pack_s"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
     zf = bool(flags & FLAG_ZLIB)
+    t0 = time.perf_counter()
+    if pack == "scan":
+        from defl_tpu.ops.huffman_pack import pack_fields_scan
+
+        slots, final_lo, tb = pack_fields_scan(
+            jnp.asarray(fields), jnp.asarray(n_fields.astype(np.int32)))
+        slots.block_until_ready()
+        st["pack_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slots_np = np.asarray(slots)
+        lo_np = np.asarray(final_lo)
+        st["fetch_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bodies = native.native_encode_compact(fields, slots_np, n_fields,
+                                              lo_np, total_bits)
+    else:
+        from defl_tpu.ops.huffman_pack import pack_fields
+
+        W = 1024
+        while W * 32 < int(total_bits.max()) + 32:
+            W *= 2
+        words, _tb = pack_fields(jnp.asarray(fields),
+                                 jnp.asarray(n_fields.astype(np.int32)),
+                                 n_words=W)
+        wb = np.asarray(words)
+        st["pack_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bodies = [wb[i].view(np.uint8)[: (int(total_bits[i]) + 7) // 8]
+                  .tobytes() for i in range(len(payloads))]
+
     outs = []
     fallback = []
     for i, p in enumerate(payloads):
@@ -383,13 +407,11 @@ def device_deflate(payloads, level=6, flags=FLAG_ZLIB, stats_out=None):
             fallback.append(i)
             outs.append(b"")
             continue
-        nbytes = (int(total_bits[i]) + 7) // 8
-        body = wb[i].view(np.uint8)[:nbytes].tobytes()
         if zf:
-            outs.append(b"\x78\x01" + body
+            outs.append(b"\x78\x01" + bodies[i]
                         + int(adlers[i]).to_bytes(4, "big"))
         else:
-            outs.append(body)
+            outs.append(bodies[i])
     if fallback:  # field-budget overflow: serial encoder for those lanes
         rs, fb_outs = native.native_deflate_batch(
             [payloads[i] for i in fallback], level=level, flags=flags)
