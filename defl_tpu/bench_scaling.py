@@ -95,27 +95,27 @@ def measure_overhead(n_streams: int = 256, block: int = 32768,
     codec = DistributedCodec(mesh=make_stream_mesh(jax.devices()[:1]))
 
     def t_codec():
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            res, outs, _ = codec.inflate(streams, dst_capacities=block)
-            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        res, outs, _ = codec.inflate(streams, dst_capacities=block)
+        dt = time.perf_counter() - t0
         assert outs[17] == payloads[17]
-        return best
+        return dt
 
     def t_raw():
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            res, outs, _ = device_inflate(streams, dst_capacities=block,
-                                          resolve="device")
-            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        res, outs, _ = device_inflate(streams, dst_capacities=block,
+                                      resolve="device")
+        dt = time.perf_counter() - t0
         assert outs[17] == payloads[17]
-        return best
+        return dt
 
     t_codec(); t_raw()  # compile both
-    codec_s = t_codec()
-    raw_s = t_raw()
+    # interleave A/B rounds: background machine drift otherwise swings
+    # the comparison by +-12% (measured)
+    codec_s = raw_s = float("inf")
+    for _ in range(reps):
+        codec_s = min(codec_s, t_codec())
+        raw_s = min(raw_s, t_raw())
     return {
         "dist_overhead_pct": round(100.0 * (codec_s - raw_s) / raw_s, 1),
         "codec1_s": round(codec_s, 4),

@@ -89,8 +89,13 @@ STORED_MAX_RUN = 256
 
 #: input window length in u32 words: WIN - SEG words are guaranteed
 #: ahead of a freshly recentred cursor, which must cover one chunk's
-#: consumption (~28 bits/step x K steps).  3 segments feed K=256.
-WIN = 384
+#: consumption (~28 bits/step x K steps).  3 segments feed K=256;
+#: 4 segments (guarantee 384 words = 12288 bits) feed K=512 at the
+#: measured ~11 bits/step corpus average (a lane consuming faster just
+#: idles out the chunk tail), worth ~15% on the Mosaic kernel — fewer
+#: chunk boundaries: launches, state repacks, refills (NOTES ledgers).
+#: WIN=640 + K=512 overflows the 16MB VMEM scope by 64KB; 512 fits.
+WIN = 512
 
 
 def step_budget(dst_capacity: int) -> int:

@@ -372,10 +372,16 @@ def device_deflate(payloads, level=6, flags=FLAG_ZLIB, stats_out=None,
     zf = bool(flags & FLAG_ZLIB)
     t0 = time.perf_counter()
     if pack == "scan":
+        import jax
+
         from defl_tpu.ops.huffman_pack import pack_fields_scan
 
-        slots, final_lo, tb = pack_fields_scan(
-            jnp.asarray(fields), jnp.asarray(n_fields.astype(np.int32)))
+        fj = jax.device_put(fields)
+        nj = jax.device_put(n_fields.astype(np.int32))
+        jax.block_until_ready(fj)
+        st["upload_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slots, final_lo, tb = pack_fields_scan(fj, nj)
         slots.block_until_ready()
         st["pack_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
