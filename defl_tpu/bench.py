@@ -299,9 +299,10 @@ def _run():
         pay_rot = [payloads[i:] + payloads[:i] for i in range(B)]
 
         def fetch_small(tokens, st):
-            dst_pos = np.asarray(st["dst_pos"])   # syncs the decode
-            status = np.asarray(st["status"])
-            return tn, dst_pos, status, None
+            # one stacked transfer: each tunnel round trip costs tens of
+            # ms and this sync sits on the pipeline's critical path
+            meta = np.asarray(jnp.stack([st["dst_pos"], st["status"]]))
+            return tn, meta[0], meta[1], None
 
         def make_sink(pays):
             def sink(i, status, out_arr, dst_pos_arr):
@@ -345,8 +346,8 @@ def _run():
                        -(-int(st["tok_rows"]) // 4096) * 4096)
             toks_nt = np.asarray(jnp.transpose(tokens[:rows]))
             fetched_bytes.append(toks_nt.nbytes)
-            return (toks_nt, np.asarray(st["dst_pos"]),
-                    np.asarray(st["status"]), None)
+            meta = np.asarray(jnp.stack([st["dst_pos"], st["status"]]))
+            return toks_nt, meta[0], meta[1], None
 
         if Bf:
             per_batch2, wall2 = pipeline_inflate(

@@ -70,11 +70,15 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     def default_fetch(tokens, st):
         # fetch only the occupied token rows (tok_rows = chunks actually
         # run x slots/chunk; finished batches leave the tail all-NOP),
-        # bucketed so the slice/transpose reuses a few compiled shapes
+        # bucketed so the slice/transpose reuses a few compiled shapes.
+        # Per-lane metadata crosses in ONE transfer: each device->host
+        # round trip costs tens of ms on tunneled links and the sync
+        # sits on the pipeline's critical path.
         rows = min(tokens.shape[0], -(-int(st["tok_rows"]) // 4096) * 4096)
+        meta = np.asarray(jnp.stack([st["dst_pos"], st["status"],
+                                     st["bitpos"]]))
         return (np.asarray(jnp.transpose(tokens[:rows])),
-                np.asarray(st["dst_pos"]),
-                np.asarray(st["status"]), np.asarray(st["bitpos"]))
+                meta[0], meta[1], meta[2])
 
     fetch = _fetch or default_fetch
 
@@ -161,11 +165,15 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     # Depth-2 double buffer.  Order per iteration:
     #   fetch(i) -> dispatch decode(i+1) -> wait resolve(i-1) -> submit
     #   resolve(i)
-    # The fetch must complete before decode(i+1) is queued (device→host
-    # reads behind a queued kernel suffer head-of-line blocking), but
+    # The fetch must complete before decode(i+1) is queued (device->host
+    # reads interleave poorly with a queued kernel on this runtime), but
     # decode(i+1) must be queued BEFORE waiting on resolve(i-1) — the
-    # device would otherwise idle for the resolve remainder every batch
-    # (measured at ~0.3s/batch, the round-2 pipeline's main loss).
+    # device would otherwise idle for the resolve remainder every batch.
+    # Alternatives measured and rejected on the tunneled dev link
+    # (single-thread fetch+resolve worker; separate fetch and resolve
+    # threads with main-thread dispatch only): the transport serialises
+    # device->host reads against compute, so moving the sync off the
+    # critical path bought nothing and cost pipeline depth — see NOTES.
     import os
 
     dbg = os.environ.get("DEFL_PIPE_DEBUG") == "1"
