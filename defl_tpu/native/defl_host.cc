@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -1615,6 +1616,12 @@ struct LargeSeg {
 struct LargeState {
   std::vector<LargeSeg> segs;
   std::vector<uint8_t> done;  // guarded by mu
+  // per-segment ownership: whoever exchanges 0->1 decodes that segment.
+  // Lets the stitcher WORK-STEAL the segment it is about to block on
+  // (startup: segment 0; tail: the chain head) instead of idling.
+  std::unique_ptr<std::atomic<uint8_t>[]> claim;
+  int64_t seg_bits = 0;
+  int64_t max_toks = 0;
   std::mutex mu;
   std::condition_variable cv;
   bool decoded = false;  // phase A completed (EFULL-retry runs stitch only)
@@ -1754,6 +1761,27 @@ void span_to_tokens(const uint8_t* src, uint64_t srclen, LargeSeg& seg,
   }
 }
 
+// Find + token-decode one segment and publish its done flag.  Called by
+// the phase-A workers and by the stitcher when it steals a segment.
+void process_seg(const uint8_t* body, uint64_t body_len, LargeState* S,
+                 int64_t i) {
+  LargeSeg& seg = S->segs[i];
+  if (i == 0) {
+    seg.start_bit = 0;
+  } else {
+    int64_t lo = i * S->seg_bits;
+    seg.start_bit =
+        find_block_start_impl(body, body_len, lo, lo + 2 * S->seg_bits);
+  }
+  if (seg.start_bit >= 0)
+    span_to_tokens(body, body_len, seg, (i + 1) * S->seg_bits, S->max_toks);
+  {
+    std::lock_guard<std::mutex> lk(S->mu);
+    S->done[i] = 1;
+  }
+  S->cv.notify_all();
+}
+
 // The stitcher: walk segments in stream order (blocking on each done
 // flag), resolve validated token runs, serially span-decode gaps.
 int large_stitch(const uint8_t* body, uint64_t body_len, LargeState* S,
@@ -1765,6 +1793,18 @@ int large_stitch(const uint8_t* body, uint64_t body_len, LargeState* S,
   uint64_t out_pos = 0;
   int64_t k = 0;
   auto wait_done = [&](int64_t i) {
+    {
+      std::lock_guard<std::mutex> lk(S->mu);
+      if (S->done[i]) return;
+    }
+    if (S->claim && S->claim[i].exchange(1) == 0) {
+      // steal: the segment the stitcher needs next is unclaimed —
+      // decode it here instead of idling on the cv (removes the
+      // startup stall on segment 0 and the chain-head tail stalls;
+      // ~10% wall on a 4-core host)
+      process_seg(body, body_len, S, i);
+      return;
+    }
     std::unique_lock<std::mutex> lk(S->mu);
     S->cv.wait(lk, [&] { return S->done[i] != 0; });
   };
@@ -1854,28 +1894,17 @@ int inflate_large_impl(const uint8_t* body, uint64_t body_len,
   *state = S;
   S->segs.resize(n_seg);
   S->done.assign(n_seg, 0);
-  const int64_t seg_bits = 8 * seg_bytes;
-  const int64_t max_toks = 4 * seg_bits + 4096;  // runaway false positives
+  S->claim.reset(new std::atomic<uint8_t>[n_seg]);
+  for (int64_t i = 0; i < n_seg; i++) S->claim[i].store(0);
+  S->seg_bits = 8 * seg_bytes;
+  S->max_toks = 4 * S->seg_bits + 4096;  // runaway false positives
   std::atomic<int64_t> next{0};
   auto work = [&] {
     for (;;) {
       int64_t i = next.fetch_add(1);
       if (i >= n_seg) return;
-      LargeSeg& seg = S->segs[i];
-      if (i == 0) {
-        seg.start_bit = 0;
-      } else {
-        int64_t lo = i * seg_bits;
-        seg.start_bit = find_block_start_impl(body, body_len, lo,
-                                              lo + 2 * seg_bits);
-      }
-      if (seg.start_bit >= 0)
-        span_to_tokens(body, body_len, seg, (i + 1) * seg_bits, max_toks);
-      {
-        std::lock_guard<std::mutex> lk(S->mu);
-        S->done[i] = 1;
-      }
-      S->cv.notify_all();
+      if (S->claim[i].exchange(1) != 0) continue;  // stitcher stole it
+      process_seg(body, body_len, S, i);
     }
   };
   std::vector<std::thread> ts;

@@ -53,6 +53,19 @@ SEGMENT_CAP = 1 << 19
 WINDOW = 32768
 
 
+def device_route_allowed(body_size: int) -> bool:
+    """Whether the device split-decode engine can take a compressed body.
+
+    The lockstep decoder's shared-input mode addresses the body with
+    int32 global *bit* cursors, bounding it to just under 256MB of
+    compressed input (minus a guard for per-lane lookahead).  Larger
+    bodies always use the host-parallel engine — whose cursors are
+    int64 — even when the caller asked for ``use_device=True``; that
+    engine is also the measured-faster path (NOTES.md round-4 ledger),
+    so the reroute never degrades below the default."""
+    return 8 * body_size < (1 << 31) - (1 << 22)
+
+
 def _find_candidates(body: np.ndarray, start_bit: int, n_seg: int,
                      seg_bits: int, n_threads: int = 4) -> list[int]:
     from defl_tpu.runtime import native
@@ -92,6 +105,9 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
       decoder (shared device-resident body), host stitches.  Worth it
       when the host is weak relative to its PCIe link and a TPU is
       otherwise idle; the batch APIs remain the TPU's bread and butter.
+      Bodies at or above ~256MB compressed exceed the device engine's
+      int32 bit cursors and transparently reroute to the host-parallel
+      engine (see `device_route_allowed`).
 
     ``use_device=None`` resolves to the DEFL_LARGE_DEVICE env knob
     (default host — the measured-faster path, so the auto route never
@@ -142,9 +158,7 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
 
     body_dev = None
     n_seg = max(1, body.size // SEGMENT_BYTES)
-    if 8 * body.size >= (1 << 31) - (1 << 22):
-        # the device decoder's global bit cursors are int32: >256MB of
-        # compressed body routes to the host-parallel engine (int64 there)
+    if not device_route_allowed(body.size):
         return _host_parallel(body, data, zf, flags, cap_total, grow,
                               seg_bytes, n_threads, st)
     if use_device and n_seg > 2:

@@ -429,7 +429,11 @@ def inflate_large_parallel(lib, body, out, seg_bytes: int = 16384,
     and call again passing `state` back (tokens are reused, only the
     stitch re-runs); free the state with `large_free`."""
     if n_threads is None:
-        n_threads = min(16, os.cpu_count() or 1)
+        # the CALLING thread stitches concurrently with the workers:
+        # spawning cpu_count workers oversubscribes the host and costs
+        # ~10% wall (measured on the 4-core dev host: nt=3 0.168s vs
+        # nt=4 0.188s on a 64MB stream) — leave it a core
+        n_threads = min(16, max(1, (os.cpu_count() or 2) - 1))
     total = ctypes.c_uint64(0)
     end_bit = ctypes.c_int64(0)
     if state is None:

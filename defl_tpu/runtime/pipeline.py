@@ -46,7 +46,11 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     sink: optional ``f(i, status, out, dst_pos) -> value`` consuming each
     batch as it resolves (per_batch then holds the sink's return values).
     Use it to stream outputs to their destination instead of retaining
-    every batch's arrays in memory.
+    every batch's arrays in memory.  Sinks normally run in batch order
+    on one thread; a batch that needs a host retry (pathological lanes)
+    has its sink called from the retry worker instead — possibly out of
+    order and concurrent with the next batch's sink — so sinks must not
+    assume ordering across batches.
     _fetch: test/bench hook — ``f(tokens, st) -> (toks_nt, dst_pos,
     status, bitpos)`` replacing the device→host fetch.
 
@@ -120,6 +124,16 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
         out_buf = np.empty((max(p.n for p in packed), C), np.uint8)
         out_buf[:] = 0  # pre-fault outside the timed loop
 
+    _RETRY = object()  # per_batch marker: (_RETRY, future)
+
+    def finish_one(i, n, status, dst_pos, out):
+        if sink is not None:
+            return sink(i, status[:n], out[:n], dst_pos[:n])
+        if as_bytes:
+            return ([Result(int(s)) for s in status[:n]],
+                    [out[k, : int(dst_pos[k])].tobytes() for k in range(n)])
+        return status[:n], out[:n], dst_pos[:n]
+
     def resolve_one(i, toks_nt, dst_pos, status):
         t0 = time.perf_counter()
         out = native_resolve_tokens(
@@ -128,31 +142,40 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
         n = len(stream_batches[i])
         # step-budget-exhausted lanes (status 127: adversarial block
         # floods or banded-refill starvation) retry on the host engine —
-        # valid input must never surface as UNFINISHED
+        # valid input must never surface as UNFINISHED.  The retry can
+        # take seconds per pathological lane, so it runs on its own
+        # worker: holding the resolve worker here would bubble the WHOLE
+        # pipeline instead of just this batch's slot.  Cost when a retry
+        # fires and the output buffer is shared: one copy of this batch's
+        # rows (the next resolve reuses the buffer immediately).
         rerun = [k for k in range(n) if int(status[k]) == 127]
-        if rerun:
+        if dbg:
+            print(f"  resolve[{i}] {time.perf_counter()-t0:.3f}"
+                  + (f" retry={rerun}" if rerun else ""), flush=True)
+        if not rerun:
+            return finish_one(i, n, status, dst_pos, out)
+        out_r = np.array(out[:n], copy=True) if reuse_out else out
+        status = np.array(status, copy=True)
+        dst_pos = np.array(dst_pos, copy=True)
+
+        def retry():
             from defl_tpu.runtime.native import native_inflate_batch
 
+            # single-threaded: this runs concurrently with the next
+            # batches' resolves — don't steal their cores for a
+            # containment path
             rs, os_ = native_inflate_batch(
                 [stream_batches[i][k] if isinstance(
                     stream_batches[i][k], (bytes, bytearray))
                  else b"".join(bytes(c) for c in stream_batches[i][k])
-                 for k in rerun], C, flags, n_threads=n_threads)
-            status = np.array(status, copy=True)
-            dst_pos = np.array(dst_pos, copy=True)
+                 for k in rerun], C, flags, n_threads=1)
             for j, k in enumerate(rerun):
                 status[k] = int(rs[j])
                 dst_pos[k] = len(os_[j])
-                out[k, : len(os_[j])] = np.frombuffer(os_[j], np.uint8)
-        if dbg:
-            print(f"  resolve[{i}] {time.perf_counter()-t0:.3f}",
-                  flush=True)
-        if sink is not None:
-            return sink(i, status[:n], out[:n], dst_pos[:n])
-        if as_bytes:
-            return ([Result(int(s)) for s in status[:n]],
-                    [out[k, : int(dst_pos[k])].tobytes() for k in range(n)])
-        return status[:n], out[:n], dst_pos[:n]
+                out_r[k, : len(os_[j])] = np.frombuffer(os_[j], np.uint8)
+            return finish_one(i, n, status, dst_pos, out_r)
+
+        return _RETRY, retry_ex.submit(retry)
 
     # Warm the decode executable outside the timed region (compile is a
     # build-time cost; the reference's analog is compiled ahead of time).
@@ -161,6 +184,7 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
     np.asarray(st_w["status"].ravel()[0])
 
     per_batch = [None] * len(stream_batches)
+    retry_ex = ThreadPoolExecutor(max_workers=1)
     t0 = time.perf_counter()
     # Depth-2 double buffer.  Order per iteration:
     #   fetch(i) -> dispatch decode(i+1) -> wait resolve(i-1) -> submit
@@ -202,5 +226,10 @@ def pipeline_inflate(stream_batches, dst_capacity: int, flags=FLAG_ZLIB,
                       f"wait {t4-t3:.3f}", flush=True)
         j, fut = pending
         per_batch[j] = fut.result()
+    # join deferred retries (rare; confined to their batch slots)
+    for j, v in enumerate(per_batch):
+        if isinstance(v, tuple) and len(v) == 2 and v[0] is _RETRY:
+            per_batch[j] = v[1].result()
+    retry_ex.shutdown()
     wall = time.perf_counter() - t0
     return per_batch, wall

@@ -209,3 +209,34 @@ def test_inflate_large_shared_input_device_path():
     assert out == raw
     assert stats.get("lanes", 0) > 10
     assert stats["lanes_valid"] >= 0.8 * stats["lanes"], stats
+
+
+def test_device_route_allowed_boundary():
+    # int32 global bit cursors: just-under-256MB bodies may ride the
+    # device engine; anything at/over the guarded bound must not
+    # (VERDICT r3 weak #6: the cap was silent and untested)
+    from defl_tpu.runtime.large import device_route_allowed
+
+    bound = ((1 << 31) - (1 << 22)) // 8
+    assert device_route_allowed(bound - 1)
+    assert not device_route_allowed(bound)
+    assert not device_route_allowed(300 << 20)
+
+
+@needs_native
+def test_inflate_large_oversize_body_reroutes_to_host(monkeypatch):
+    # a body past the device engine's addressing limit must silently take
+    # the host-parallel engine even under use_device=True — and still be
+    # byte-exact.  The limit is forced low so the test doesn't need a
+    # real 256MB stream.
+    import defl_tpu.runtime.large as large_mod
+
+    raw = _big_payload(2)
+    comp = zlib.compress(raw, 6)
+    monkeypatch.setattr(large_mod, "device_route_allowed", lambda n: False)
+    stats = {}
+    r, out = inflate_large(comp, use_device=True, stats_out=stats)
+    assert r is Result.OK
+    assert out == raw
+    assert "parallel_s" in stats          # host-parallel engine ran
+    assert "lanes" not in stats           # device lane path did not
