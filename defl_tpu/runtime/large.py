@@ -45,8 +45,11 @@ from defl_tpu.errors import FLAG_VERIFY_ADLER32, FLAG_ZLIB, Result
 SEGMENT_BYTES = 24576
 #: target compressed bytes per host-parallel work unit (several deflate
 #: blocks: keeps the boundary-find cost — ~0.5ms/scan, dominated by the
-#: distance to the next dynamic header — well under the token decode)
-HOST_SEGMENT_BYTES = 131072
+#: distance to the next dynamic header — well under the token decode).
+#: Swept on the 4-core dev host (64MB stream): 384K beats 128K by ~30%
+#: (fewer finds, less cross-segment ramp) and 512K/1M regress (tail
+#: imbalance) — NOTES.md round-5 ledger.
+HOST_SEGMENT_BYTES = 393216
 #: per-lane output capacity: speculative segments whose output exceeds
 #: this EFULL out and take the serial-fallback path
 SEGMENT_CAP = 1 << 19
@@ -90,8 +93,15 @@ def _find_candidates(body: np.ndarray, start_bit: int, n_seg: int,
 def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
                   chunk_steps: int | None = None, use_device: bool | None = None,
                   stats_out: dict | None = None, seg_bytes: int | None = None,
-                  n_threads: int | None = None):
-    """One huge stream -> (Result, bytes).
+                  n_threads: int | None = None, out=None):
+    """One huge stream -> (Result, bytes), or (Result, n_bytes) with `out`.
+
+    ``out`` (writable uint8 ndarray): caller-owned output buffer, ≙ the
+    reference's ``infl_init(dst, dstlen)`` contract — the decode writes
+    in place, returns the byte count, and never allocates or copies the
+    output (a fresh multi-hundred-MB buffer costs more in page faults
+    than the decode itself on small hosts).  EFULL is returned to the
+    caller (grow-and-retry is the caller's job, ≙ infl_resize_output).
 
     Two speculative block-parallel engines share the find/validate/stitch
     design (module docstring):
@@ -120,27 +130,39 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
 
     data = bytes(data)
     zf = bool(flags & FLAG_ZLIB)
+    caller_out = out is not None
+    empty = 0 if caller_out else b""
     start = 0
     if zf:
         if len(data) < 2:
-            return Result.UNFINISHED, b""
+            return Result.UNFINISHED, empty
         cmf, flg = data[0], data[1]
         if ((cmf & 0xF) != ZLIB_CM_DEFLATE or (cmf >> 4) > ZLIB_MAX_CINFO
                 or ((cmf << 8) | flg) % 31 != 0):
-            return Result.ERR, b""
+            return Result.ERR, empty
         if flg & ZLIB_FLAG_FDICT:
-            return Result.ERR, b""  # preset dict on huge streams: host path
+            return Result.ERR, empty  # preset dict on huge streams: host path
         start = 2
 
     if not native.available():
         from defl_tpu.core.oracle import inflate_oracle
 
-        return inflate_oracle(data, flags, dst_capacity)
+        r, ob = inflate_oracle(data, flags, dst_capacity)
+        if not caller_out:
+            return r, ob
+        n = min(len(ob), out.size)
+        out[:n] = np.frombuffer(ob, np.uint8)[:n]
+        return r, n
 
     body = np.frombuffer(data, np.uint8)[start:]
-    grow = dst_capacity is None
-    cap_total = int(dst_capacity) if dst_capacity is not None \
-        else max(16 * body.size, 1 << 20)
+    if caller_out:
+        grow = False
+        cap_total = min(int(dst_capacity), out.size) \
+            if dst_capacity is not None else out.size
+    else:
+        grow = dst_capacity is None
+        cap_total = int(dst_capacity) if dst_capacity is not None \
+            else max(16 * body.size, 1 << 20)
 
     st = stats_out if stats_out is not None else {}
     if use_device is None:
@@ -154,13 +176,13 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
     metrics.inc("large_bytes_in", len(data))
     if not use_device:
         return _host_parallel(body, data, zf, flags, cap_total, grow,
-                              seg_bytes, n_threads, st)
+                              seg_bytes, n_threads, st, out)
 
     body_dev = None
     n_seg = max(1, body.size // SEGMENT_BYTES)
     if not device_route_allowed(body.size):
         return _host_parallel(body, data, zf, flags, cap_total, grow,
-                              seg_bytes, n_threads, st)
+                              seg_bytes, n_threads, st, out)
     if use_device and n_seg > 2:
         # async upload of the shared body overlaps the block find below
         # (the decoder's shared-input mode reads one [S, SEG] body for
@@ -197,29 +219,32 @@ def inflate_large(data, flags=FLAG_ZLIB, dst_capacity=None,
     # find and device decode are reused.
     t0 = time.perf_counter()
     while True:
-        out = np.zeros(cap_total, np.uint8)
-        r, total, end_bit = _stitch(body, cands, lane_info, out)
+        buf = out if caller_out else np.zeros(cap_total, np.uint8)
+        r, total, end_bit = _stitch(body, cands, lane_info, buf)
         if r is Result.EFULL and grow and cap_total < (1 << 40):
             cap_total *= 4
             continue
         break
     st["stitch_s"] = time.perf_counter() - t0
-    if r is not Result.OK:
-        return r, out[:total].tobytes()
 
+    def ret(res):
+        return (res, total) if caller_out else (res, buf[:total].tobytes())
+
+    if r is not Result.OK:
+        return ret(r)
     if (flags & FLAG_VERIFY_ADLER32) and zf:
         # 4 big-endian trailer bytes after the byte-aligned final block
         tb = (end_bit + 7) // 8
         if tb + 4 > body.size:
-            return Result.UNFINISHED, out[:total].tobytes()
+            return ret(Result.UNFINISHED)
         stored = int.from_bytes(body[tb : tb + 4].tobytes(), "big")
-        if stored != native.native_adler32(out[:total].tobytes()):
-            return Result.ERR, out[:total].tobytes()
-    return Result.OK, out[:total].tobytes()
+        if stored != native.native_adler32(buf[:total]):
+            return ret(Result.ERR)
+    return ret(Result.OK)
 
 
 def _host_parallel(body, data, zf, flags, cap_total, grow, seg_bytes,
-                   n_threads, st):
+                   n_threads, st, caller_buf=None):
     """All-native parallel engine: dt_inflate_large (find ‖ token-decode
     workers + stitcher on this thread).  Grow-on-EFULL retries reuse the
     decoded tokens — only the stitch re-runs."""
@@ -232,9 +257,11 @@ def _host_parallel(body, data, zf, flags, cap_total, grow, seg_bytes,
     state = None
     try:
         while True:
-            out = np.zeros(cap_total, np.uint8)
+            out = caller_buf if caller_buf is not None \
+                else np.zeros(cap_total, np.uint8)
             r, total, end_bit, state = native.inflate_large_parallel(
-                lib, body, out, seg_bytes=seg_bytes or HOST_SEGMENT_BYTES,
+                lib, body, out[:cap_total],
+                seg_bytes=seg_bytes or HOST_SEGMENT_BYTES,
                 n_threads=n_threads, state=state)
             if r is Result.EFULL and grow and cap_total < (1 << 40):
                 cap_total *= 4
@@ -243,17 +270,21 @@ def _host_parallel(body, data, zf, flags, cap_total, grow, seg_bytes,
     finally:
         native.large_free(lib, state)
     st["parallel_s"] = time.perf_counter() - t0
+
+    def ret(res):
+        return (res, total) if caller_buf is not None \
+            else (res, out[:total].tobytes())
+
     if r is not Result.OK:
-        return r, out[:total].tobytes()
-    out_b = out[:total].tobytes()
+        return ret(r)
     if (flags & FLAG_VERIFY_ADLER32) and zf:
         tb = (end_bit + 7) // 8
         if tb + 4 > body.size:
-            return Result.UNFINISHED, out_b
+            return ret(Result.UNFINISHED)
         stored = int.from_bytes(body[tb : tb + 4].tobytes(), "big")
-        if stored != native.native_adler32(out_b):
-            return Result.ERR, out_b
-    return Result.OK, out_b
+        if stored != native.native_adler32(out[:total]):
+            return ret(Result.ERR)
+    return ret(Result.OK)
 
 
 def _device_decode(body_dev, body_bytes, cands, chunk_steps, stats=None):

@@ -132,15 +132,29 @@ def _u8(buf):
         if len(buf) else (ctypes.c_uint8 * 1)()
 
 
-def native_inflate(data: bytes, dst_capacity: int,
-                   flags: int = 1) -> tuple[Result, bytes]:
-    """One-shot native inflate; (Result, output)."""
+def native_inflate(data: bytes, dst_capacity: int, flags: int = 1,
+                   out=None):
+    """One-shot native inflate; (Result, output).
+
+    With ``out`` (a writable uint8 ndarray — the caller-owned output
+    buffer, ≙ the reference's ``infl_init(dst, dstlen)`` contract,
+    include/defl/infl.h:31-33) the decode writes in place and returns
+    (Result, bytes_written) with zero copies or allocations — the fast
+    path for callers that reuse buffers across calls."""
+    import numpy as np
+
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
     src = _u8(data)
-    dst = (ctypes.c_uint8 * max(dst_capacity, 1))()
     outlen = ctypes.c_uint64(0)
+    if out is not None:
+        assert out.dtype == np.uint8 and out.flags.c_contiguous
+        cap = min(int(dst_capacity), out.size)
+        r = lib.dt_inflate(src, len(data), _np_u8p(out), cap,
+                           ctypes.byref(outlen), flags)
+        return Result(r), int(outlen.value)
+    dst = (ctypes.c_uint8 * max(dst_capacity, 1))()
     r = lib.dt_inflate(src, len(data), dst, dst_capacity,
                        ctypes.byref(outlen), flags)
     return Result(r), ctypes.string_at(dst, outlen.value)
@@ -354,14 +368,35 @@ def native_encode_compact(fields, slots, n_fields, final_lo, total_bits,
     return [dsts[i][: dstlens[i]].tobytes() for i in range(N)]
 
 
-def native_adler32(data: bytes, start: int = 1) -> int:
-    lib = get_lib()
-    return int(lib.dt_adler32(_u8(data), len(data), start))
+def _u8_view(data):
+    """Zero-copy (pointer, length) for ndarray/bytes-like checksum input —
+    copying a multi-hundred-MB output just to checksum it costs more than
+    the checksum."""
+    import numpy as np
+
+    if isinstance(data, np.ndarray):
+        a = np.ascontiguousarray(data.reshape(-1).view(np.uint8))
+        # `a` is returned as the keepalive: the pointer dangles without it
+        # whenever ascontiguousarray had to copy
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), a.size, a
+    b = bytes(data)
+    return _u8(b), len(b), b
 
 
-def native_crc32(data: bytes, start: int = 0) -> int:
+def native_adler32(data, start: int = 1) -> int:
     lib = get_lib()
-    return int(lib.dt_crc32(_u8(data), len(data), start))
+    p, n, keep = _u8_view(data)
+    r = int(lib.dt_adler32(p, n, start))
+    del keep
+    return r
+
+
+def native_crc32(data, start: int = 0) -> int:
+    lib = get_lib()
+    p, n, keep = _u8_view(data)
+    r = int(lib.dt_crc32(p, n, start))
+    del keep
+    return r
 
 
 # ---- speculative large-stream helpers (runtime/large.py) ------------------
@@ -429,11 +464,12 @@ def inflate_large_parallel(lib, body, out, seg_bytes: int = 16384,
     and call again passing `state` back (tokens are reused, only the
     stitch re-runs); free the state with `large_free`."""
     if n_threads is None:
-        # the CALLING thread stitches concurrently with the workers:
-        # spawning cpu_count workers oversubscribes the host and costs
-        # ~10% wall (measured on the 4-core dev host: nt=3 0.168s vs
-        # nt=4 0.188s on a 64MB stream) — leave it a core
-        n_threads = min(16, max(1, (os.cpu_count() or 2) - 1))
+        # one worker per core: the stitcher work-steals the segment it
+        # blocks on, so brief oversubscription beats an idle core (round-5
+        # sweep on the 4-core dev host at seg=384K: nt=4 0.114s vs nt=3
+        # 0.141s on a 64MB stream; the round-4 nt=cpu-1 default predates
+        # the work-stealing stitcher)
+        n_threads = min(16, max(1, os.cpu_count() or 2))
     total = ctypes.c_uint64(0)
     end_bit = ctypes.c_int64(0)
     if state is None:

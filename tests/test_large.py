@@ -56,6 +56,33 @@ def test_inflate_large_serial_stitch():
 
 
 @needs_native
+def test_inflate_large_caller_buffer():
+    """out= writes the caller-owned buffer in place and returns the byte
+    count (≙ reference infl_init(dst, dstlen) + infl_output_pos,
+    include/defl/infl.h:31-33,175-177); EFULL is returned, never grown."""
+    raw = _big_payload(2)
+    comp = zlib.compress(raw, 6)
+    buf = np.zeros(len(raw) + 64, np.uint8)
+    r, n = inflate_large(comp, out=buf, use_device=False)
+    assert r is Result.OK and n == len(raw)
+    assert buf[:n].tobytes() == raw
+    # adler verification runs against the caller buffer, zero-copy
+    r, n = inflate_large(comp, FLAG_ZLIB | FLAG_VERIFY_ADLER32, out=buf,
+                         use_device=False)
+    assert r is Result.OK and n == len(raw)
+    # fixed caller capacity: EFULL comes back instead of growing
+    small = np.zeros(1000, np.uint8)
+    r, n = inflate_large(comp, out=small, use_device=False)
+    assert r is Result.EFULL and n <= 1000
+    assert raw[:n] == small[:n].tobytes()
+    # serial native engine takes a caller buffer too
+    from defl_tpu.runtime.native import native_inflate
+
+    r, n = native_inflate(comp, len(raw), out=buf)
+    assert r is Result.OK and buf[:n].tobytes() == raw
+
+
+@needs_native
 def test_inflate_large_adler_verify():
     raw = _big_payload(1)
     comp = bytearray(zlib.compress(raw, 6))
