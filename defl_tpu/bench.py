@@ -496,11 +496,19 @@ def _run():
     if os.environ.get("DEFL_BENCH_SCALING", "1") == "1":
         import subprocess
 
-        for mode in ("scaling", "overhead"):
+        modes = ["scaling", "overhead"]
+        cores = os.cpu_count() or 8
+        if cores < 8:
+            # with fewer cores than the 8 virtual devices the shard8
+            # point is core-bound by construction; add a devices==cores
+            # point whose speedup/devices IS a real efficiency number
+            modes.insert(1, f"scaling{cores}")
+        for mode in modes:
             try:
                 env = {**os.environ, "JAX_PLATFORMS": "cpu"}
-                if mode == "overhead":  # clean single-device comparison
-                    env.pop("XLA_FLAGS", None)
+                # each mode picks its own device count (overhead: clean
+                # single-device process) — drop any inherited forcing
+                env.pop("XLA_FLAGS", None)
                 r = subprocess.run(
                     [sys.executable, "-m", "defl_tpu.bench_scaling", mode],
                     capture_output=True, timeout=1200, env=env)

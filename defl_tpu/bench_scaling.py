@@ -68,13 +68,22 @@ def measure(n_streams: int = 256, block: int = 32768, reps: int = 3):
     shard1_s = time_codec(codec1)
     shardn_s = time_codec(codec_n)
 
-    return {
-        "scaling_n_devices": len(devs),
+    n = len(devs)
+    out = {
+        "scaling_n_devices": n,
         "scaling_raw_mb": round(raw_bytes / 1e6, 1),
         "shard1_s": round(shard1_s, 4),
-        f"shard{len(devs)}_s": round(shardn_s, 4),
-        "shard8_speedup": round(shard1_s / shardn_s, 3),
+        f"shard{n}_s": round(shardn_s, 4),
+        f"shard{n}_speedup": round(shard1_s / shardn_s, 3),
     }
+    # efficiency is only meaningful when virtual devices <= physical
+    # cores (an 8-virtual-device mesh on a 4-core host is core-bound at
+    # 4x by construction; the 4-device point is the honest one)
+    import os
+
+    if n <= (os.cpu_count() or n):
+        out[f"scaling_eff_{n}dev"] = round(shard1_s / shardn_s / n, 3)
+    return out
 
 
 def measure_overhead(n_streams: int = 256, block: int = 32768,
@@ -128,10 +137,15 @@ def main():
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "scaling"
     flags = os.environ.get("XLA_FLAGS", "")
-    if (mode == "scaling"
+    if (mode.startswith("scaling")
             and "xla_force_host_platform_device_count" not in flags):
+        # "scaling" = 8 virtual devices (sharding overhead at scale);
+        # "scaling4" = devices matched to physical cores, where the
+        # speedup/devices ratio is a real efficiency number
+        nd = int(mode[7:]) if len(mode) > 7 else 8
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+            flags + f" --xla_force_host_platform_device_count={nd}").strip()
+        mode = "scaling"
     # the axon TPU plugin's sitecustomize force-selects jax_platforms via
     # jax.config at interpreter start, overriding the env var — undo it
     # (same workaround as tests/conftest.py)

@@ -389,26 +389,25 @@ def _refill_windows_shared(ck, st, body_lo3, body_hi3):
     def refill(ck):
         seg = jnp.clip((st["bitpos"] >> 5) // SEG, 0, S - 1)
         NSEG = WIN // SEG
-        s_iota = jnp.arange(S, dtype=I32)[None, :]
 
-        def pick(k):
-            idx = jnp.minimum(seg + k, S - 1)
-            oh = (s_iota == idx[:, None]).astype(jnp.float32)
-            # HIGHEST is required: this is a plain [N,S]x[S,SEG] matmul,
-            # and default dot precision truncates the 16-bit operand
-            # halves to bf16 (8 mantissa bits) — every word of every
-            # window silently corrupted.  The per-lane batched einsum in
-            # _refill_windows lowers to mul+reduce and dodges this; a
-            # plain dot does not.
-            lo = jnp.einsum("ns,sw->nw", oh, body_lo3,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            hi = jnp.einsum("ns,sw->nw", oh, body_hi3,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            return (hi.astype(U32) << U32(16)) | lo.astype(U32)
-
-        win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
+        # all NSEG segments in one [N*NSEG, S] x [S, SEG] contraction
+        # (the body is streamed once per refill, not once per segment)
+        ks = jnp.arange(NSEG, dtype=I32)[None, :]
+        idx = jnp.minimum(seg[:, None] + ks, S - 1)               # [N,NSEG]
+        oh = (jnp.arange(S, dtype=I32)[None, None, :]
+              == idx[:, :, None]).astype(jnp.float32)             # [N,NSEG,S]
+        # HIGHEST is required: this is a plain matmul, and default dot
+        # precision truncates the 16-bit operand halves to bf16
+        # (8 mantissa bits) — every word of every window silently
+        # corrupted (regression-tested: tests/test_regressions.py).
+        lo = jnp.einsum("nks,sw->nkw", oh, body_lo3,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.einsum("nks,sw->nkw", oh, body_hi3,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        win = ((hi.astype(U32) << U32(16))
+               | lo.astype(U32)).reshape(seg.shape[0], NSEG * SEG)
         ck = dict(ck)
         ck["win"] = win
         ck["win_word"] = seg * SEG
@@ -481,24 +480,28 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
             axis=1)
         segb = jnp.where(in0, seg - s0,
                          jnp.where(in1, seg - s1 + B, 0))
-        b_iota = jnp.arange(2 * B, dtype=I32)[None, :]
         band_end = jnp.where(segb < B, B - 1, 2 * B - 1)
 
-        def pick(k):
-            idx = jnp.minimum(segb + k, band_end)
-            oh = (b_iota == idx[:, None]).astype(jnp.float32)
-            # HIGHEST: exactness must not depend on how XLA lowers the
-            # contraction (a dot would bf16-truncate the 16-bit halves;
-            # see _refill_windows_shared)
-            lo = jnp.einsum("nb,nbw->nw", oh, sub_lo,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            hi = jnp.einsum("nb,nbw->nw", oh, sub_hi,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            return (hi.astype(U32) << U32(16)) | lo.astype(U32)
-
-        win = jnp.concatenate([pick(k) for k in range(NSEG)], axis=1)
+        # ALL NSEG window segments in ONE batched contraction: a
+        # per-segment einsum would stream the 134MB slab once per
+        # segment; merged, the slab is read once per refill (refills
+        # fire nearly every chunk, so this is the dominant between-chunk
+        # cost — measured ~1.3ms -> ~0.5ms per refill at N=8192).
+        ks = jnp.arange(NSEG, dtype=I32)[None, :]
+        idx = jnp.minimum(segb[:, None] + ks, band_end[:, None])  # [N,NSEG]
+        oh = (jnp.arange(2 * B, dtype=I32)[None, None, :]
+              == idx[:, :, None]).astype(jnp.float32)             # [N,NSEG,2B]
+        # HIGHEST: exactness must not depend on how XLA lowers the
+        # contraction (a dot would bf16-truncate the 16-bit halves;
+        # see _refill_windows_shared)
+        lo = jnp.einsum("nkb,nbw->nkw", oh, sub_lo,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.einsum("nkb,nbw->nkw", oh, sub_hi,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        win = ((hi.astype(U32) << U32(16))
+               | lo.astype(U32)).reshape(seg.shape[0], NSEG * SEG)
         ck = dict(ck)
         ck["win"] = win
         ck["rr"] = ck["rr"] + 1
