@@ -374,7 +374,24 @@ SEG = 128  # segment width in words; windows cover WIN//SEG aligned segments
 BAND = 16
 
 
-def _refill_windows_shared(ck, st, body_lo3, body_hi3):
+def _split_planes(wpad):
+    """u32 words -> 4 int8 byte planes (bit patterns, sign-carried).
+
+    The refill contractions run on 8-bit planes: an s8 x s8 dot with an
+    i32 accumulator is EXACT by definition (no matmul precision knob can
+    corrupt it, unlike f32 halves whose default-precision dot silently
+    bf16-truncates — the round-3 bug regression-tested in
+    tests/test_regressions.py), and the slab traffic is half that of two
+    f32 16-bit halves.  The one-hot row has a single 1, so each result
+    lane is the sign-extended source byte; `& 0xFF` recovers it.
+    """
+    return tuple(
+        jax.lax.bitcast_convert_type(
+            ((wpad >> U32(8 * p)) & U32(0xFF)).astype(jnp.uint8), jnp.int8)
+        for p in range(4))
+
+
+def _refill_windows_shared(ck, st, body_p):
     """Shared-input window refill: every lane reads the SAME body.
 
     Used by the speculative split decode (runtime/large.py), where the
@@ -384,30 +401,24 @@ def _refill_windows_shared(ck, st, body_lo3, body_hi3):
     runs over the whole [S, SEG] body — read once per refill, not per
     lane — and every active lane is always served.
     """
-    S = body_lo3.shape[0]
+    S = body_p[0].shape[0]
 
     def refill(ck):
         seg = jnp.clip((st["bitpos"] >> 5) // SEG, 0, S - 1)
         NSEG = WIN // SEG
 
         # all NSEG segments in one [N*NSEG, S] x [S, SEG] contraction
-        # (the body is streamed once per refill, not once per segment)
+        # per byte plane (the body is streamed once per refill, not once
+        # per segment); integer dot => exact (see _split_planes)
         ks = jnp.arange(NSEG, dtype=I32)[None, :]
         idx = jnp.minimum(seg[:, None] + ks, S - 1)               # [N,NSEG]
         oh = (jnp.arange(S, dtype=I32)[None, None, :]
-              == idx[:, :, None]).astype(jnp.float32)             # [N,NSEG,S]
-        # HIGHEST is required: this is a plain matmul, and default dot
-        # precision truncates the 16-bit operand halves to bf16
-        # (8 mantissa bits) — every word of every window silently
-        # corrupted (regression-tested: tests/test_regressions.py).
-        lo = jnp.einsum("nks,sw->nkw", oh, body_lo3,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        hi = jnp.einsum("nks,sw->nkw", oh, body_hi3,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        win = ((hi.astype(U32) << U32(16))
-               | lo.astype(U32)).reshape(seg.shape[0], NSEG * SEG)
+              == idx[:, :, None]).astype(jnp.int8)                # [N,NSEG,S]
+        bs = [jnp.einsum("nks,sw->nkw", oh, p,
+                         preferred_element_type=I32).astype(U32) & U32(0xFF)
+              for p in body_p]
+        win = (bs[0] | (bs[1] << U32(8)) | (bs[2] << U32(16))
+               | (bs[3] << U32(24))).reshape(seg.shape[0], NSEG * SEG)
         ck = dict(ck)
         ck["win"] = win
         ck["win_word"] = seg * SEG
@@ -420,21 +431,21 @@ def _refill_windows_shared(ck, st, body_lo3, body_hi3):
     return jax.lax.cond(need, refill, lambda c: c, ck)
 
 
-def _refill_windows(ck, st, words_lo3, words_hi3):
+def _refill_windows(ck, st, words_p):
     """Recentre lanes' input windows at their bit cursors.
 
     XLA:TPU serialises even contiguous per-lane gathers (~20ns/element),
-    so the refill is instead an MXU one-hot contraction: the input is
-    pre-split into exact f32 halves tiled as [N, S, SEG]; selecting lane
-    n's aligned segment pair is `einsum('ns,nsw->nw')` with a one-hot
-    [N, S] — a batched vector-matrix product the MXU executes in
-    microseconds.  The contraction runs over a BAND-segment slice
-    starting at the slowest active lane's segment, so each refill reads
-    ~BAND*SEG words per lane, not the whole input.  Gated to run only
-    when some active lane is past the halfway mark (a mid-chunk overrun
-    merely stalls that lane until the next refill).
+    so the refill is instead a one-hot contraction: the input is
+    pre-split into int8 byte planes tiled as [N, S, SEG] (exact —
+    _split_planes); selecting lane n's aligned segments is a batched
+    vector-matrix product with a one-hot over band positions.  The
+    contraction runs over a BAND-segment slice starting at the slowest
+    active lane's segment, so each refill reads ~BAND*SEG words per
+    lane, not the whole input.  Gated to run only when some active lane
+    is past the halfway mark (a mid-chunk overrun merely stalls that
+    lane until the next refill).
     """
-    S = words_lo3.shape[1]
+    S = words_p[0].shape[1]
     B = min(BAND, S)
 
     def refill(ck):
@@ -470,38 +481,29 @@ def _refill_windows(ck, st, words_lo3, words_hi3):
         in0 = in_band(s0)
         in1 = in_band(s1)
 
-        sub_lo = jnp.concatenate(
-            [jax.lax.dynamic_slice_in_dim(words_lo3, s0, B, axis=1),
-             jax.lax.dynamic_slice_in_dim(words_lo3, s1, B, axis=1)],
-            axis=1)
-        sub_hi = jnp.concatenate(
-            [jax.lax.dynamic_slice_in_dim(words_hi3, s0, B, axis=1),
-             jax.lax.dynamic_slice_in_dim(words_hi3, s1, B, axis=1)],
-            axis=1)
+        subs = [jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(p, s0, B, axis=1),
+             jax.lax.dynamic_slice_in_dim(p, s1, B, axis=1)], axis=1)
+            for p in words_p]
         segb = jnp.where(in0, seg - s0,
                          jnp.where(in1, seg - s1 + B, 0))
         band_end = jnp.where(segb < B, B - 1, 2 * B - 1)
 
-        # ALL NSEG window segments in ONE batched contraction: a
-        # per-segment einsum would stream the 134MB slab once per
-        # segment; merged, the slab is read once per refill (refills
+        # ALL NSEG window segments in ONE batched contraction per byte
+        # plane: a per-segment einsum would stream the slab once per
+        # segment; merged, each plane is read once per refill (refills
         # fire nearly every chunk, so this is the dominant between-chunk
-        # cost — measured ~1.3ms -> ~0.5ms per refill at N=8192).
+        # cost — merging measured 1.94 -> 2.18 GB/s decode at N=8192).
+        # Integer dot => exact (see _split_planes).
         ks = jnp.arange(NSEG, dtype=I32)[None, :]
         idx = jnp.minimum(segb[:, None] + ks, band_end[:, None])  # [N,NSEG]
         oh = (jnp.arange(2 * B, dtype=I32)[None, None, :]
-              == idx[:, :, None]).astype(jnp.float32)             # [N,NSEG,2B]
-        # HIGHEST: exactness must not depend on how XLA lowers the
-        # contraction (a dot would bf16-truncate the 16-bit halves;
-        # see _refill_windows_shared)
-        lo = jnp.einsum("nkb,nbw->nkw", oh, sub_lo,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        hi = jnp.einsum("nkb,nbw->nkw", oh, sub_hi,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        win = ((hi.astype(U32) << U32(16))
-               | lo.astype(U32)).reshape(seg.shape[0], NSEG * SEG)
+              == idx[:, :, None]).astype(jnp.int8)                # [N,NSEG,2B]
+        bs = [jnp.einsum("nkb,nbw->nkw", oh, s,
+                         preferred_element_type=I32).astype(U32) & U32(0xFF)
+              for s in subs]
+        win = (bs[0] | (bs[1] << U32(8)) | (bs[2] << U32(16))
+               | (bs[3] << U32(24))).reshape(seg.shape[0], NSEG * SEG)
         ck = dict(ck)
         ck["win"] = win
         ck["rr"] = ck["rr"] + 1
@@ -1045,23 +1047,19 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
         ck = dict(ck)
         ck["win_word"] = jnp.full((N,), -(10 * WIN), I32)
 
-    # input pre-split into exact f32 halves, tiled by aligned segment
-    # (consumed by the MXU one-hot window refill)
+    # input pre-split into exact int8 byte planes, tiled by aligned
+    # segment (consumed by the one-hot window refill — _split_planes)
     if shared_input:
         body = words.reshape(-1)
         S = (body.shape[0] + SEG - 1) // SEG
         bpad = jnp.pad(body, (0, S * SEG - body.shape[0]))
-        words_lo3 = (bpad & U32(0xFFFF)).astype(jnp.float32).reshape(S, SEG)
-        words_hi3 = (bpad >> U32(16)).astype(jnp.float32).reshape(S, SEG)
+        words_p = tuple(p.reshape(S, SEG) for p in _split_planes(bpad))
         refill_windows = _refill_windows_shared
     else:
         W = words.shape[1]
         S = (W + SEG - 1) // SEG
         wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
-        words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32) \
-            .reshape(N, S, SEG)
-        words_hi3 = (wpad >> U32(16)).astype(jnp.float32) \
-            .reshape(N, S, SEG)
+        words_p = tuple(p.reshape(N, S, SEG) for p in _split_planes(wpad))
         refill_windows = _refill_windows
 
     # two token slots per step: the step budget is T//2, keeping the
@@ -1080,7 +1078,7 @@ def decode_tokens(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     def chunk_body(carry):
         ci, st, ck, tokbuf = carry
-        ck = refill_windows(ck, st, words_lo3, words_hi3)
+        ck = refill_windows(ck, st, words_p)
         ck, st = _apply_builds(ck, st)
 
         def sbody(st, _):

@@ -765,17 +765,14 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         body = words.reshape(-1)
         S = (body.shape[0] + SEG - 1) // SEG
         bpad = jnp.pad(body, (0, S * SEG - body.shape[0]))
-        words_lo3 = (bpad & U32(0xFFFF)).astype(jnp.float32).reshape(S, SEG)
-        words_hi3 = (bpad >> U32(16)).astype(jnp.float32).reshape(S, SEG)
+        words_p = tuple(p.reshape(S, SEG) for p in ib._split_planes(bpad))
         refill_windows = ib._refill_windows_shared
     else:
         W = words.shape[1]
         S = (W + SEG - 1) // SEG
         wpad = jnp.pad(words, ((0, 0), (0, S * SEG - W)))
-        words_lo3 = (wpad & U32(0xFFFF)).astype(jnp.float32) \
-            .reshape(N, S, SEG)
-        words_hi3 = (wpad >> U32(16)).astype(jnp.float32) \
-            .reshape(N, S, SEG)
+        words_p = tuple(p.reshape(N, S, SEG)
+                        for p in ib._split_planes(wpad))
         refill_windows = ib._refill_windows
 
     n_steps = max(K, T // 2)
@@ -789,7 +786,7 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
 
     def chunk_body(c):
         ci, st, ck, tokbuf = c
-        ck = refill_windows(ck, st, words_lo3, words_hi3)
+        ck = refill_windows(ck, st, words_p)
         ck, st = ib._apply_builds(ck, st)
 
         rows = [st["state"], st["bitpos"], st["final"], st["hlit"],

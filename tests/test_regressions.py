@@ -125,10 +125,13 @@ def test_native_adler_verify():
 
 def test_shared_refill_window_words_exact():
     # the shared-input refill's one-hot contraction is a plain matmul;
-    # at default precision XLA truncates the 16-bit word halves to bf16
-    # and silently corrupts every window word (round-3 regression: 100%
-    # of split-decode lanes ERRed ~8 bits in, masked by the span
-    # fallback).  Windows must reproduce the body words bit-exactly.
+    # when it ran on f32 16-bit halves, default XLA dot precision
+    # truncated them to bf16 and silently corrupted every window word
+    # (round-3 regression: 100% of split-decode lanes ERRed ~8 bits in,
+    # masked by the span fallback).  Round 5 moved the contraction to
+    # int8 byte planes (integer dot — exact by definition); this test
+    # still pins the invariant: windows must reproduce the body words
+    # bit-exactly through whatever the refill's plane format is.
     import jax.numpy as jnp
 
     from defl_tpu.ops import inflate_batch as ib
@@ -139,16 +142,15 @@ def test_shared_refill_window_words_exact():
     S = (W + ib.SEG - 1) // ib.SEG
     bpad = np.zeros(S * ib.SEG + ib.WIN, np.uint32)
     bpad[:W] = body
-    lo3 = (bpad[: S * ib.SEG] & 0xFFFF).astype(np.float32).reshape(S, ib.SEG)
-    hi3 = (bpad[: S * ib.SEG] >> 16).astype(np.float32).reshape(S, ib.SEG)
+    planes = tuple(p.reshape(S, ib.SEG) for p in
+                   ib._split_planes(jnp.asarray(bpad[: S * ib.SEG])))
     pos = np.array([0, W // 3, W // 2, W - 2 * ib.WIN], np.int64)
     st = {"bitpos": jnp.asarray(pos * 32, jnp.int32),
           "status": jnp.full(4, int(ib.STATUS_RUNNING), jnp.int32)}
     ck = {"win": jnp.zeros((4, ib.WIN), jnp.uint32),
           "win_word": jnp.full((4,), -(10 * ib.WIN), jnp.int32),
           "rr": jnp.zeros((4,), jnp.int32)}
-    ck2 = ib._refill_windows_shared(ck, st, jnp.asarray(lo3),
-                                    jnp.asarray(hi3))
+    ck2 = ib._refill_windows_shared(ck, st, planes)
     win = np.asarray(ck2["win"])
     ww = np.asarray(ck2["win_word"])
     for n in range(4):
