@@ -197,10 +197,20 @@ def DeflateStream(level: int = 6, flags: int = FLAG_ZLIB,
 def deflate_buffer(data, level: int = 6, flags: int = FLAG_ZLIB,
                    dictionary: bytes | None = None) -> bytes:
     """One-shot compress — the half the reference declares but never
-    implements (include/defl/defl.h:17-25, README TODO)."""
+    implements (include/defl/defl.h:17-25, README TODO).
+
+    Runs on the C++ engine when available (same deflate_core as the
+    batch/device paths); dictionary streams and level 0 (stored-only)
+    use the Python reference encoder, which implements both.
+    """
+    from defl_tpu.runtime import native
+
+    data = bytes(data)
+    if native.available() and not dictionary and level >= 1:
+        return native.native_deflate(data, level=level, flags=flags)
     from defl_tpu.core.deflate_ref import deflate_oracle
 
-    return deflate_oracle(bytes(data), level=level, flags=flags,
+    return deflate_oracle(data, level=level, flags=flags,
                           dictionary=dictionary)
 
 
