@@ -496,12 +496,13 @@ def _run():
     if os.environ.get("DEFL_BENCH_SCALING", "1") == "1":
         import subprocess
 
-        modes = ["scaling", "overhead"]
+        modes = ["scaling", "overhead", "pinned1"]
         cores = os.cpu_count() or 8
         if cores < 8:
             # with fewer cores than the 8 virtual devices the shard8
             # point is core-bound by construction; add a devices==cores
-            # point whose speedup/devices IS a real efficiency number
+            # point, compared against the 1-core-pinned 1-device
+            # baseline (pinned1) for a true strong-scaling efficiency
             modes.insert(1, f"scaling{cores}")
         for mode in modes:
             try:
@@ -518,6 +519,14 @@ def _run():
                 log(f"virtual-mesh {mode}: {part}")
             except Exception as e:  # pragma: no cover
                 log(f"{mode} subprocess failed: {e}")
+        n = cores if cores < 8 else 8
+        if "shard1core_s" in scaling and f"shard{n}_s" in scaling:
+            # cores-matched strong scaling: 1 device on 1 core vs
+            # n devices on n cores, same total work (see bench_scaling)
+            eff = scaling["shard1core_s"] / (n * scaling[f"shard{n}_s"])
+            scaling["scaling_eff_cores_matched"] = round(eff, 3)
+            log(f"cores-matched scaling efficiency ({n} devices on "
+                f"{n} cores vs 1 device pinned to 1 core): {eff:.1%}")
 
     # ---- multi-chip scaling (runs only on real multi-device slices) ----
     scaling_eff = None
