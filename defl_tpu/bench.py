@@ -147,6 +147,21 @@ def _run():
     reps = int(os.environ.get("DEFL_BENCH_REPS", "2"))
 
     import jax
+
+    # Persistent executable cache: the Mosaic decode kernel's remote
+    # compile costs minutes and varies with compile-service load; cached
+    # binaries load in <1s in later processes (verified on axon).
+    cache_dir = os.environ.get(
+        "DEFL_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compile cache unavailable: {e}")
+
     import jax.numpy as jnp
 
     import numpy as np
@@ -184,13 +199,13 @@ def _run():
         packed.words = wp
     C = block
     T = step_budget(C)
-    # Standalone decode runs K=512 chunks (fewer launches/repacks/refills:
-    # +8% on-chip).  The overlapped pipeline stays at K=256: in-pipeline
-    # decode is bound by host-side contention (resolve threads + tunnel
-    # relay share 4 cores) at ~0.36s/batch for either K, and K=512
-    # measured slightly worse there (BENCH notes, round 4).
+    # K=512 chunks everywhere (fewer launches/repacks/refills).  Round 4
+    # ran the pipeline at K=256 — in-pipeline decode was then bound by
+    # host-side contention at ~0.36s/batch either way; the round-5 refill
+    # rework (batched contraction + int8 planes) dropped the per-chunk
+    # glue enough that K=512 wins in-pipeline too (0.215 vs 0.26 s/batch).
     K = int(os.environ.get("DEFL_BENCH_K", "512"))
-    pipe_K = int(os.environ.get("DEFL_BENCH_PIPE_K", "256"))
+    pipe_K = int(os.environ.get("DEFL_BENCH_PIPE_K", "512"))
 
     from defl_tpu.runtime.native import available, native_resolve_tokens
 
@@ -319,9 +334,10 @@ def _run():
         # overlap measurement: prefetched token buffer stands in for the
         # tunnel (note: with rotated batches the stub's token buffer only
         # matches batch 0, so verify statuses, not bytes, here)
-        # best of two passes: host/tunnel load drifts the wall +-12%
+        # best of three passes: host/tunnel load drifts the wall (the
+        # first pass also absorbs resolve-thread warmup)
         wall = 1e9
-        for _ in range(2):
+        for _ in range(3):
             per_batch, w1 = pipeline_inflate(
                 batches, block, sink=make_sink(pay_rot), _fetch=fetch_small,
                 n_threads=nt, chunk_steps=pipe_K)
