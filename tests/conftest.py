@@ -25,3 +25,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+# Sanitizer runs (CI native-asan / native-tsan jobs, LD_PRELOAD=libasan/
+# libtsan) exercise the C++ tier; jaxlib's nanobind bindings cannot throw
+# C++ exceptions through the preloaded sanitizer's interceptors
+# (AddressSanitizer CHECK: real___cxa_throw == 0 inside MLIR tracing), so
+# jit/tracing tests are skipped there — mark them @pytest.mark.needs_jax.
+_SANITIZER = any(s in os.environ.get("LD_PRELOAD", "")
+                 for s in ("libasan", "libtsan", "libubsan"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "needs_jax: test traces/jits through jaxlib (auto-skipped under "
+        "sanitizer LD_PRELOAD, which jaxlib exceptions cannot cross)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _SANITIZER:
+        return
+    skip = pytest.mark.skip(
+        reason="jaxlib tracing cannot run under sanitizer LD_PRELOAD")
+    for item in items:
+        if "needs_jax" in item.keywords:
+            item.add_marker(skip)

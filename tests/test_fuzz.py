@@ -56,9 +56,9 @@ def test_oracle_fuzz_no_crash(seed):
         assert len(out) <= CAP
 
 
-def test_cross_engine_agreement():
-    """Oracle vs C++ engine vs device decoder on fuzz cases."""
-    from defl_tpu.runtime.native import available, native_inflate
+@pytest.mark.needs_jax
+def test_cross_engine_agreement_device():
+    """Oracle vs device decoder on fuzz cases."""
     from defl_tpu.runtime.session import device_inflate
 
     cases = _gen_cases(7, 48)
@@ -71,14 +71,24 @@ def test_cross_engine_agreement():
         if orr is Result.OK:
             assert dev_out[i] == oro, i
 
-    if available():
-        for i, (data, (orr, oro)) in enumerate(zip(cases, oracle_res)):
-            nr, no = native_inflate(data, CAP, 1)
-            assert nr is orr, (i, data.hex()[:40], nr, orr)
-            if orr is Result.OK:
-                assert no == oro, i
+
+def test_cross_engine_agreement_native():
+    """Oracle vs C++ engine on fuzz cases (runs under the sanitizer
+    preload too — this is the ASan-audited agreement check)."""
+    from defl_tpu.runtime.native import available, native_inflate
+
+    if not available():
+        pytest.skip("native library unavailable")
+    cases = _gen_cases(7, 48)
+    for i, data in enumerate(cases):
+        orr, oro = inflate_oracle(data, FLAG_ZLIB, CAP)
+        nr, no = native_inflate(data, CAP, 1)
+        assert nr is orr, (i, data.hex()[:40], nr, orr)
+        if orr is Result.OK:
+            assert no == oro, i
 
 
+@pytest.mark.needs_jax
 def test_fuzz_raw_mode_device():
     from defl_tpu.runtime.session import device_inflate
 

@@ -86,6 +86,7 @@ def test_invalid_code_vs_need_input_native():
     assert r is Result.ERR
 
 
+@pytest.mark.needs_jax
 def test_invalid_code_vs_need_input_device():
     from defl_tpu.runtime.session import device_inflate
 
@@ -94,6 +95,7 @@ def test_invalid_code_vs_need_input_device():
     assert res[0] is Result.ERR
 
 
+@pytest.mark.needs_jax
 def test_no_capacity_high_ratio_full_output():
     # ratio > 64x: the generous-cap guess EFULLs on device; the lane must
     # resume ON DEVICE via revive_carry with a grown budget (≙
@@ -123,6 +125,7 @@ def test_native_adler_verify():
     assert r is Result.UNFINISHED
 
 
+@pytest.mark.needs_jax
 def test_shared_refill_window_words_exact():
     # the shared-input refill's one-hot contraction is a plain matmul;
     # when it ran on f32 16-bit halves, default XLA dot precision
