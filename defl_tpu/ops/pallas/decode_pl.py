@@ -140,22 +140,29 @@ def _shift_fifo(bb, bb_n, c):
 
 def _canon_pl(tabs, kind, peek):
     """Canonical decode against one statically-chosen table kind
-    (0 CL, 1 LIT, 2 DIST): static per-length table rows, static
-    symbol-bank slice (≙ inflate_batch._canonical_decode).
-    Returns (sym, clen, found, maxlen)."""
-    first_ref, cnt_ref, offs_ref, maxlen_ref, syms_ref = tabs
+    (0 CL, 1 LIT, 2 DIST).  Returns (sym, clen, found, maxlen).
+
+    Boundary-sum form: canonical codes of length l occupy exactly
+    [first[l] << (15-l), bound[l]) of the left-justified 15-bit code
+    space, where bound[l] = (first[l]+count[l]) << (15-l), and bound is
+    non-decreasing in l (first[l+1] = (first[l]+count[l]) << 1) — so the
+    code length is simply 1 + #{l : rev15 >= bound[l]} and "found" is
+    rev15 < bound[15].  15 independent compares + a sum replace the
+    serial first-hit where-chain (the per-step hot cost: this runs up to
+    5x per step), and offs-first folds into one premixed adjoff row
+    (symidx = adjoff[clen] + (rev15 >> (15-clen))).  bound/adjoff are
+    derived from the canonical build's (count, first, offs) by the chunk
+    driver — same build, different kernel-facing layout."""
+    bound_ref, adjoff_ref, maxlen_ref, syms_ref = tabs
     rev = bitrev16(peek & U32(0x7FFF)) >> U32(1)
-    zero = jnp.zeros(peek.shape, I32)
-    found = jnp.zeros(peek.shape, bool)
-    symidx = zero
-    clen = zero
+    rv = rev.astype(I32)
+    nge = jnp.zeros(peek.shape, I32)
     for l in range(1, C.MAX_CODE_LENGTH + 1):
-        cand = (rev >> U32(15 - l)).astype(I32)
-        off = cand - first_ref[kind * 16 + l]
-        hit = (~found) & (off >= 0) & (off < cnt_ref[kind * 16 + l])
-        symidx = jnp.where(hit, offs_ref[kind * 16 + l] + off, symidx)
-        clen = jnp.where(hit, l, clen)
-        found = found | hit
+        nge = nge + (rv >= bound_ref[kind * 16 + l]).astype(I32)
+    found = nge < C.MAX_CODE_LENGTH
+    clen = jnp.where(found, nge + 1, 0)
+    adjoff = _mux_ref(adjoff_ref, nge, kind * 16 + 1, C.MAX_CODE_LENGTH)
+    symidx = jnp.where(found, adjoff + (rv >> (15 - clen)), 0)
     base, width = {0: (tables.CL_BASE, 24),
                    1: (tables.LIT_BASE, 288),
                    2: (tables.DIST_BASE_, 36)}[kind]
@@ -168,7 +175,7 @@ def _canon_pl(tabs, kind, peek):
 
 
 def _make_kernel(K: int, dict_len: int, has_dict: bool):
-    def kernel(st_ref, lens_ref, win_ref, cnt_ref, first_ref, offs_ref,
+    def kernel(st_ref, lens_ref, win_ref, bound_ref, adjoff_ref,
                maxlen_ref, syms_ref, tok_ref, st_out_ref, lens_out_ref):
         nbits = st_ref[R_NBITS]
         cap = st_ref[R_CAP]
@@ -178,7 +185,7 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
         in_base = st_ref[R_INBASE]
         zero = jnp.zeros_like(nbits)
         zu = _bc(zero, U32)
-        tabs = (first_ref, cnt_ref, offs_ref, maxlen_ref, syms_ref)
+        tabs = (bound_ref, adjoff_ref, maxlen_ref, syms_ref)
 
         # lens is write-only inside the kernel (read by the between-chunk
         # builds): seed the output ref, then RMW it under the header gate.
@@ -653,14 +660,15 @@ def _make_kernel(K: int, dict_len: int, has_dict: bool):
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "dict_len", "has_dict", "interpret"))
-def decode_chunk_pl(st_pk, lens_pk3, win3, cnt3, first3, offs3, maxlen3,
+def decode_chunk_pl(st_pk, lens_pk3, win3, bound3, adjoff3, maxlen3,
                     syms3, *, K: int, dict_len: int, has_dict: bool,
                     interpret: bool = False):
     """One K-step chunk over all lanes; grid over 1024-lane blocks.
 
     st_pk [NROWS, R, 128] i32; lens_pk3 [40, R, 128] i32 (u32 bits);
-    win3 [WIN, R, 128]; cnt3/first3/offs3 [48, R, 128] (kind*16+len);
-    maxlen3 [3, R, 128]; syms3 [SYMS_WORDS, R, 128].
+    win3 [WIN, R, 128]; bound3/adjoff3 [48, R, 128] (kind*16+len, the
+    left-justified code-space boundaries / offs-first rows _canon_pl
+    consumes); maxlen3 [3, R, 128]; syms3 [SYMS_WORDS, R, 128].
     Returns (tokens [2K, R, 128] i32 (u32 bits), st_out, lens_out).
     """
     R = st_pk.shape[1]
@@ -673,7 +681,7 @@ def decode_chunk_pl(st_pk, lens_pk3, win3, cnt3, first3, offs3, maxlen3,
         _make_kernel(K, dict_len, has_dict),
         grid=grid,
         in_specs=[bs(NROWS), bs(LENS_WORDS), bs(WIN), bs(48), bs(48),
-                  bs(48), bs(3), bs(tables.SYMS_WORDS)],
+                  bs(3), bs(tables.SYMS_WORDS)],
         out_specs=(bs(2 * K), bs(NROWS), bs(LENS_WORDS)),
         out_shape=(
             jax.ShapeDtypeStruct((2 * K, R, 128), jnp.int32),
@@ -681,7 +689,7 @@ def decode_chunk_pl(st_pk, lens_pk3, win3, cnt3, first3, offs3, maxlen3,
             jax.ShapeDtypeStruct((LENS_WORDS, R, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(st_pk, lens_pk3, win3, cnt3, first3, offs3, maxlen3, syms3)
+    )(st_pk, lens_pk3, win3, bound3, adjoff3, maxlen3, syms3)
 
 
 # ---------------------------------------------------------------------------
@@ -797,14 +805,19 @@ def decode_tokens_pl(words, nbits, zflag, cap, *, T: int, K: int = 128,
         st_pk = jnp.stack(rows).reshape(NROWS, R, 128)
         lens3 = _bc(st["lens_pk"], I32).reshape(LENS_WORDS, R, 128)
         win3 = _i3(ck["win"])
-        cnt3 = jnp.transpose(ck["count"], (1, 2, 0)).reshape(48, R, 128)
-        first3 = jnp.transpose(ck["first"], (1, 2, 0)).reshape(48, R, 128)
-        offs3 = jnp.transpose(ck["offs"], (1, 2, 0)).reshape(48, R, 128)
+        # kernel-facing table layout (see _canon_pl): left-justified
+        # code-space boundaries bound[l] = (first[l]+count[l]) << (15-l)
+        # and premixed adjoff[l] = offs[l] - first[l]
+        sh = (15 - jnp.arange(16, dtype=I32))[None, None, :]
+        bound = (ck["first"] + ck["count"]) << sh
+        adjoff = ck["offs"] - ck["first"]
+        bound3 = jnp.transpose(bound, (1, 2, 0)).reshape(48, R, 128)
+        adjoff3 = jnp.transpose(adjoff, (1, 2, 0)).reshape(48, R, 128)
         maxlen3 = _to3(ck["maxlen"])
         syms3 = _i3(ck["syms"])
 
         toks3, st_out, lens_out = decode_chunk_pl(
-            st_pk, lens3, win3, cnt3, first3, offs3, maxlen3, syms3,
+            st_pk, lens3, win3, bound3, adjoff3, maxlen3, syms3,
             K=K, dict_len=dict_len, has_dict=has_dict, interpret=interpret)
 
         st = dict(st)
