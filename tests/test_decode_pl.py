@@ -261,3 +261,112 @@ def test_pl_interpret_e2e():
     for i, p in enumerate(payloads):
         assert st["status"][i] == 0, (i, st["status"][i])
         assert out[i, : st["dst_pos"][i]].tobytes() == p, i
+
+
+class TestCanonBoundarySum:
+    """ALWAYS-ON: the kernel's boundary-sum canonical decode (_canon_pl)
+    against the host CanonicalCode ground truth, over random complete
+    AND incomplete trees and every 15-bit peek class.  Pins the lim[l] /
+    adjoff[l] table derivation the chunk driver feeds the kernel."""
+
+    def _random_lens(self, rng, n_sym):
+        # random Kraft-feasible length multiset: draw symbols one at a
+        # time into the shallowest free slot of a random depth
+        lens = np.zeros(n_sym, np.int32)
+        left = {l: 0 for l in range(1, 16)}
+        budget = 1.0
+        for s in range(n_sym):
+            if budget <= 0:
+                break
+            l = int(rng.integers(1, 16))
+            while 2.0 ** -l > budget:
+                l += 1
+                if l > 15:
+                    break
+            if l > 15:
+                break
+            lens[s] = l
+            budget -= 2.0 ** -l
+        return lens
+
+    def test_matches_host_canonical(self):
+        import jax.numpy as jnp
+
+        from defl_tpu.core.huffman import build_decode
+        from defl_tpu.ops import tables
+        from defl_tpu.ops.pallas import decode_pl as dpl
+
+        rng = np.random.default_rng(11)
+        for trial in range(6):
+            n_sym = int(rng.integers(2, 288))
+            lens = self._random_lens(rng, n_sym)
+            cc = build_decode(lens)
+            assert cc is not None
+            if cc.num_symbols < 1:
+                continue
+
+            # kernel-facing rows, same derivation as the chunk driver
+            first = np.zeros(16, np.int64)
+            cnt = np.zeros(16, np.int64)
+            offs = np.zeros(16, np.int64)
+            first[: cc.first_code.size] = cc.first_code
+            cnt[: cc.count.size] = cc.count
+            # driver offsets are bank-based (tables.build_canonical is
+            # local; _apply_builds adds the alphabet's bank base)
+            offs[: cc.offset.size] = cc.offset + tables.LIT_BASE
+            bound = (first + cnt) << (15 - np.arange(16))
+            adjoff = offs - first
+
+            def tile(vals, rows):
+                a = np.zeros((rows, 8, 128), np.int32)
+                a[: len(vals)] = np.asarray(vals, np.int64)[
+                    :, None, None].astype(np.int32)
+                return jnp.asarray(a)
+
+            bound3 = jnp.asarray(np.zeros((48, 8, 128), np.int32))
+            adjoff3 = jnp.asarray(np.zeros((48, 8, 128), np.int32))
+            # kind=1 (LIT) rows live at 16..31
+            bound3 = bound3.at[16:32].set(tile(bound, 16)[:16])
+            adjoff3 = adjoff3.at[16:32].set(tile(adjoff, 16)[:16])
+            ml3 = jnp.asarray(np.full((3, 8, 128), cc.max_len, np.int32))
+            syms = np.zeros(288, np.int32)
+            syms[: cc.num_symbols] = cc.sorted_syms
+            packed = np.zeros((tables.SYMS_WORDS, 8, 128), np.int32)
+            w = np.asarray(
+                tables.pack_syms(jnp.asarray(syms[None]), 288))[0]
+            packed[tables.LIT_BASE // 3:
+                   tables.LIT_BASE // 3 + 96] = \
+                w.astype(np.int64)[:, None, None].astype(np.int32)
+            syms3 = jnp.asarray(packed)
+
+            peek = rng.integers(0, 1 << 32, (8, 128), dtype=np.uint64)
+            peek = jnp.asarray(peek.astype(np.uint32))
+            tabs = (bound3, adjoff3, ml3, syms3)
+            sym, clen, found, ml = (np.asarray(x) for x in
+                                    dpl._canon_pl(tabs, 1, peek))
+
+            # host ground truth: first-hit scan over lengths
+            pk = np.asarray(peek).astype(np.uint64)
+            rev = np.zeros_like(pk)
+            for b in range(15):
+                rev |= (((pk >> b) & 1) << (14 - b))
+            e_sym = np.zeros_like(sym)
+            e_clen = np.zeros_like(clen)
+            e_found = np.zeros_like(found)
+            for l in range(1, 16):
+                cand = (rev >> (15 - l)).astype(np.int64)
+                hit = (~e_found.astype(bool)) & (cand >= first[l]) \
+                    & (cand < first[l] + cnt[l])
+                idx = np.clip(offs[l] - tables.LIT_BASE + cand - first[l],
+                              0, cc.num_symbols - 1).astype(np.int64)
+                e_sym = np.where(hit, syms[idx], e_sym)
+                e_clen = np.where(hit, l, e_clen)
+                e_found = e_found | hit
+            np.testing.assert_array_equal(found, e_found,
+                                          err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(clen, e_clen,
+                                          err_msg=f"trial {trial}")
+            m = e_found.astype(bool)
+            np.testing.assert_array_equal(sym[m], e_sym[m],
+                                          err_msg=f"trial {trial}")
+            assert int(ml.ravel()[0]) == cc.max_len
