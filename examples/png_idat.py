@@ -12,11 +12,20 @@ decodes three ways and cross-checks:
 Run: python examples/png_idat.py
 """
 
+import os
 import struct
 import sys
 import zlib
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin's sitecustomize force-selects its platform via
+    # jax.config, overriding the env var — honor the user's choice (same
+    # workaround as tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from defl_tpu import InflateStream, Result, inflate_batch
 
