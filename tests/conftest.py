@@ -8,12 +8,18 @@ lives in ``bench.py``, not in tests.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# DEFL_TEST_TPU=1 keeps the real TPU backend so the @needs_tpu Mosaic
+# matrix (tests/test_decode_pl.py) compiles on hardware; every other run
+# is pinned to the virtual 8-device CPU mesh.
+_TPU_RUN = os.environ.get("DEFL_TEST_TPU") == "1"
+
+if not _TPU_RUN:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import sys
 
@@ -24,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tests run on the virtual 8-device CPU mesh as intended.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

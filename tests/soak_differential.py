@@ -83,6 +83,16 @@ def main():
         cap = max(max(len(p) for p in wants), 1)
         cap = 1 << (cap - 1).bit_length()
         packed = pack_streams(streams, 1, cap)
+        # bucket the words width to a power of two: every distinct W is
+        # a fresh XLA:CPU compile of the lockstep decoder, and a 30-min
+        # soak at one-compile-per-batch accumulates LLVM state until the
+        # process OOMs (observed: ENOMEM -> SIGSEGV ~25 min in)
+        W = packed.words.shape[1]
+        w_pad = 1 << max(W - 1, 1).bit_length()
+        if w_pad != W:
+            wp = np.zeros((packed.n, w_pad), packed.words.dtype)
+            wp[:, :W] = packed.words
+            packed.words = wp
         toks, st = decode_tokens(
             jnp.asarray(packed.words), jnp.asarray(packed.nbits),
             jnp.asarray(packed.zflag), jnp.asarray(packed.dst_cap),
