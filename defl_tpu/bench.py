@@ -146,6 +146,16 @@ def _run():
     block = int(os.environ.get("DEFL_BENCH_BLOCK", "65536"))
     reps = int(os.environ.get("DEFL_BENCH_REPS", "2"))
 
+    # Global deadline: compile-service load and the dev tunnel's rate
+    # swing phase costs by minutes run-to-run; if the wall budget is at
+    # risk, optional evidence phases are shed (with a log line) so the
+    # final JSON line ALWAYS prints before any outer timeout kills us.
+    bench_t0 = time.perf_counter()
+    deadline_s = float(os.environ.get("DEFL_BENCH_DEADLINE_S", "2400"))
+
+    def time_left():
+        return deadline_s - (time.perf_counter() - bench_t0)
+
     import jax
 
     # Persistent executable cache: the Mosaic decode kernel's remote
@@ -365,6 +375,10 @@ def _run():
             meta = np.asarray(jnp.stack([st["dst_pos"], st["status"]]))
             return toks_nt, meta[0], meta[1], None
 
+        if Bf and time_left() < 420:
+            log(f"skipping true-wall fetch phase ({time_left():.0f}s left "
+                "of the bench deadline; phase costs 2-3 min on the tunnel)")
+            Bf = 0
         if Bf:
             per_batch2, wall2 = pipeline_inflate(
                 batches[:Bf], block, sink=make_sink(pay_rot),
@@ -426,27 +440,33 @@ def _run():
             f"{par_s:.2f}s ({cpp_s / par_s:.2f}x, the default route); "
             f"ok={ok64}")
         # device-lane engine, for the record (opt-in route)
-        stats = {}
-        r_d, out_d = inflate_large(comp64, use_device=True,
-                                   stats_out=stats)  # warm/compile
-        stats = {}
-        t0 = time.perf_counter()
-        r_d, out_d = inflate_large(comp64, use_device=True, stats_out=stats)
-        wall_s = time.perf_counter() - t0
-        ok_dev = int(r_d) == 0 and out_d == raw64
-        stage_s = (stats.get("find_s", 0) + stats.get("decode_s", 0)
-                   + stats.get("stitch_s", 0))
-        large.update({
-            "large64_device_stage_s": round(stage_s, 3),
-            "large64_device_wall_s": round(wall_s, 3),
-            "large64_fetch_s": round(stats.get("fetch_s", 0), 3),
-            "large64_device_ok": ok_dev,
-        })
-        log(f"64MB device-lane route: stages {stage_s:.2f}s (find "
-            f"{stats.get('find_s', 0):.2f} decode "
-            f"{stats.get('decode_s', 0):.2f} stitch "
-            f"{stats.get('stitch_s', 0):.2f}) + tunnel fetch "
-            f"{stats.get('fetch_s', 0):.2f}s; ok={ok_dev}")
+        if time_left() < 360:
+            log(f"skipping device-lane 64MB route ({time_left():.0f}s left"
+                " of the bench deadline; compile + tunnel fetch cost "
+                "minutes)")
+        else:
+            stats = {}
+            r_d, out_d = inflate_large(comp64, use_device=True,
+                                       stats_out=stats)  # warm/compile
+            stats = {}
+            t0 = time.perf_counter()
+            r_d, out_d = inflate_large(comp64, use_device=True,
+                                       stats_out=stats)
+            wall_s = time.perf_counter() - t0
+            ok_dev = int(r_d) == 0 and out_d == raw64
+            stage_s = (stats.get("find_s", 0) + stats.get("decode_s", 0)
+                       + stats.get("stitch_s", 0))
+            large.update({
+                "large64_device_stage_s": round(stage_s, 3),
+                "large64_device_wall_s": round(wall_s, 3),
+                "large64_fetch_s": round(stats.get("fetch_s", 0), 3),
+                "large64_device_ok": ok_dev,
+            })
+            log(f"64MB device-lane route: stages {stage_s:.2f}s (find "
+                f"{stats.get('find_s', 0):.2f} decode "
+                f"{stats.get('decode_s', 0):.2f} stitch "
+                f"{stats.get('stitch_s', 0):.2f}) + tunnel fetch "
+                f"{stats.get('fetch_s', 0):.2f}s; ok={ok_dev}")
 
     # ---- phase 5: encode (the half the reference never implements).
     # Host engine rate + size vs zlib-6, plus the hybrid device path
@@ -472,37 +492,48 @@ def _run():
         # hybrid device path (lockstep reservoir-scan pack).  Stage rate
         # excludes the slots fetch (env tunnel, same ~1000x-under-PCIe
         # artifact as the decode pipeline; fetch seconds reported).
-        n_dev = min(n_enc, 1024)
-        dev_payloads = enc_payloads[:n_dev]
-        dev_raw = sum(len(p) for p in dev_payloads)
-        est = {}
-        outs = device_deflate(dev_payloads, level=6, stats_out=est)  # warm
-        est = {}
-        t0 = time.perf_counter()
-        outs = device_deflate(dev_payloads, level=6, stats_out=est)
-        dev_wall_s = time.perf_counter() - t0
-        stage_s = (est.get("fields_s", 0) + est.get("pack_s", 0)
-                   + est.get("assemble_s", 0))
-        enc_ok = all(a == b for a, b in zip(outs, comps[:n_dev]))
         encode = {
             "encode_host_MBps": round(enc_raw / host_enc_s / 1e6, 1),
-            "encode_device_stage_MBps": round(dev_raw / stage_s / 1e6, 1),
-            "encode_device_wall_MBps": round(dev_raw / dev_wall_s / 1e6, 1),
-            "encode_pack_MBps": round(
-                dev_raw / max(est.get("pack_s", 1e-9), 1e-9) / 1e6, 1),
-            "encode_fields_s": round(est.get("fields_s", 0), 3),
-            "encode_pack_s": round(est.get("pack_s", 0), 3),
-            "encode_fetch_s": round(est.get("fetch_s", 0), 3),
             "encode_size_vs_zlib6": round(csz / z6, 4),
-            "encode_ok": enc_ok,
         }
-        log(f"encode: host {enc_raw/host_enc_s/1e6:.0f} MB/s | hybrid "
-            f"device stages {dev_raw/stage_s/1e6:.0f} MB/s (fields "
-            f"{est.get('fields_s', 0):.2f}s pack {est.get('pack_s', 0):.2f}s"
-            f" [device {dev_raw/max(est.get('pack_s',1e-9),1e-9)/1e6:.0f} "
-            f"MB/s] compact {est.get('assemble_s', 0):.2f}s) + tunnel "
-            f"fetch {est.get('fetch_s', 0):.2f}s | size vs zlib-6 "
-            f"{csz/z6:.4f}; byte-identical={enc_ok}")
+        if time_left() < 300:
+            log(f"encode: host {enc_raw/host_enc_s/1e6:.0f} MB/s | size vs "
+                f"zlib-6 {csz/z6:.4f}; skipping device pack stage "
+                f"({time_left():.0f}s left of the bench deadline)")
+        else:
+            n_dev = min(n_enc, 1024)
+            dev_payloads = enc_payloads[:n_dev]
+            dev_raw = sum(len(p) for p in dev_payloads)
+            est = {}
+            outs = device_deflate(dev_payloads, level=6,
+                                  stats_out=est)  # warm
+            est = {}
+            t0 = time.perf_counter()
+            outs = device_deflate(dev_payloads, level=6, stats_out=est)
+            dev_wall_s = time.perf_counter() - t0
+            stage_s = (est.get("fields_s", 0) + est.get("pack_s", 0)
+                       + est.get("assemble_s", 0))
+            enc_ok = all(a == b for a, b in zip(outs, comps[:n_dev]))
+            encode.update({
+                "encode_device_stage_MBps": round(
+                    dev_raw / stage_s / 1e6, 1),
+                "encode_device_wall_MBps": round(
+                    dev_raw / dev_wall_s / 1e6, 1),
+                "encode_pack_MBps": round(
+                    dev_raw / max(est.get("pack_s", 1e-9), 1e-9) / 1e6, 1),
+                "encode_fields_s": round(est.get("fields_s", 0), 3),
+                "encode_pack_s": round(est.get("pack_s", 0), 3),
+                "encode_fetch_s": round(est.get("fetch_s", 0), 3),
+                "encode_ok": enc_ok,
+            })
+            log(f"encode: host {enc_raw/host_enc_s/1e6:.0f} MB/s | hybrid "
+                f"device stages {dev_raw/stage_s/1e6:.0f} MB/s (fields "
+                f"{est.get('fields_s', 0):.2f}s pack "
+                f"{est.get('pack_s', 0):.2f}s"
+                f" [device {dev_raw/max(est.get('pack_s',1e-9),1e-9)/1e6:.0f}"
+                f" MB/s] compact {est.get('assemble_s', 0):.2f}s) + tunnel "
+                f"fetch {est.get('fetch_s', 0):.2f}s | size vs zlib-6 "
+                f"{csz/z6:.4f}; byte-identical={enc_ok}")
 
     # ---- scaling evidence on the virtual 8-device CPU mesh (SURVEY §6;
     # real multi-chip hardware is absent here, so this measures the
@@ -521,6 +552,10 @@ def _run():
         modes = [("scaling" if cores >= 8 else f"scaling{min(cores, 8)}"),
                  "overhead", "pinned1"]
         for mode in modes:
+            if time_left() < 150:
+                log(f"skipping scaling mode {mode} ({time_left():.0f}s "
+                    "left of the bench deadline)")
+                continue
             try:
                 env = {**os.environ, "JAX_PLATFORMS": "cpu"}
                 # each mode picks its own device count (overhead: clean
@@ -528,7 +563,8 @@ def _run():
                 env.pop("XLA_FLAGS", None)
                 r = subprocess.run(
                     [sys.executable, "-m", "defl_tpu.bench_scaling", mode],
-                    capture_output=True, timeout=1200, env=env)
+                    capture_output=True,
+                    timeout=max(60, min(1200, time_left() - 60)), env=env)
                 part = json.loads(
                     r.stdout.decode().strip().splitlines()[-1])
                 scaling.update(part)
