@@ -37,7 +37,7 @@ import time
 import zlib
 
 
-def measure(n_streams: int = 256, block: int = 32768, reps: int = 3):
+def measure(n_streams: int = 256, block: int = 32768, reps: int = 5):
     import jax
     import numpy as np
 
@@ -86,7 +86,7 @@ def measure(n_streams: int = 256, block: int = 32768, reps: int = 3):
 
 
 def measure_pinned1(n_streams: int = 256, block: int = 32768,
-                    reps: int = 3):
+                    reps: int = 5):
     """1-device decode with the PROCESS PINNED TO ONE CORE (affinity set
     in main() before XLA spawns its thread pool).  This is the honest
     single-device baseline for cores-matched scaling efficiency: an
