@@ -158,19 +158,10 @@ def _run():
 
     import jax
 
-    # Persistent executable cache: the Mosaic decode kernel's remote
-    # compile costs minutes and varies with compile-service load; cached
-    # binaries load in <1s in later processes (verified on axon).
-    cache_dir = os.environ.get(
-        "DEFL_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception as e:  # pragma: no cover
-        log(f"compile cache unavailable: {e}")
+    # Persistent compilation cache: enabled by defl_tpu.ops.__init__
+    # (~/.cache/defl_tpu/jax) on first import below.  First-call wall
+    # still varies (30s-25min observed) with the axon remote-compile
+    # service's load — the deadline guard above covers the worst case.
 
     import jax.numpy as jnp
 
